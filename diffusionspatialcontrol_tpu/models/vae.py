@@ -1,0 +1,186 @@
+"""AutoencoderKL (functional JAX, NHWC): encoder + decoder.
+
+Capability parity with diffusers' AutoencoderKL as used by the reference for
+latent decode (source/modules/model_k_diffusion.py:291-299) and img2img /
+inpaint encode (model_k_diffusion.py:605-655). Decode path is the
+post-sampling hot op; everything jits into one program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VAEConfig
+from .layers import conv2d, conv_init, group_norm, linear, linear_init, norm_init, silu
+
+
+def _resnet_init(key, in_c, out_c, dtype):
+    k = jax.random.split(key, 3)
+    p = {
+        "norm1": norm_init(in_c, dtype),
+        "conv1": conv_init(k[0], in_c, out_c, 3, dtype),
+        "norm2": norm_init(out_c, dtype),
+        "conv2": conv_init(k[1], out_c, out_c, 3, dtype),
+    }
+    if in_c != out_c:
+        p["conv_shortcut"] = conv_init(k[2], in_c, out_c, 1, dtype)
+    return p
+
+
+def _resnet_apply(p, x, groups):
+    h = silu(group_norm(p["norm1"], x, groups, 1e-6))
+    h = conv2d(p["conv1"], h)
+    h = silu(group_norm(p["norm2"], h, groups, 1e-6))
+    h = conv2d(p["conv2"], h)
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding="VALID")
+    return x + h
+
+
+def _attn_init(key, c, dtype):
+    k = jax.random.split(key, 4)
+    return {
+        "group_norm": norm_init(c, dtype),
+        "to_q": linear_init(k[0], c, c, dtype=dtype),
+        "to_k": linear_init(k[1], c, c, dtype=dtype),
+        "to_v": linear_init(k[2], c, c, dtype=dtype),
+        "to_out": linear_init(k[3], c, c, dtype=dtype),
+    }
+
+
+def _attn_apply(p, x, groups):
+    b, hh, ww, c = x.shape
+    h = group_norm(p["group_norm"], x, groups, 1e-6).reshape(b, hh * ww, c)
+    q = linear(p["to_q"], h)
+    k = linear(p["to_k"], h)
+    v = linear(p["to_v"], h)
+    logits = jnp.einsum("bld,bsd->bls", q, k,
+                        preferred_element_type=jnp.float32) * (c**-0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bls,bsd->bld", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = linear(p["to_out"], out).reshape(b, hh, ww, c)
+    return x + out
+
+
+def vae_init(key, cfg: VAEConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    keys = jax.random.split(key, 40)
+    ki = iter(keys)
+    chans = cfg.block_out_channels
+
+    # Encoder
+    enc: Dict[str, Any] = {"conv_in": conv_init(next(ki), cfg.in_channels,
+                                                chans[0], 3, dtype)}
+    down = []
+    in_c = chans[0]
+    for lv, out_c in enumerate(chans):
+        block = {"resnets": [
+            _resnet_init(next(ki), in_c if j == 0 else out_c, out_c, dtype)
+            for j in range(cfg.layers_per_block)
+        ]}
+        if lv < len(chans) - 1:
+            block["downsample"] = conv_init(next(ki), out_c, out_c, 3, dtype)
+        down.append(block)
+        in_c = out_c
+    enc["down_blocks"] = down
+    c_last = chans[-1]
+    enc["mid"] = {
+        "resnet1": _resnet_init(next(ki), c_last, c_last, dtype),
+        "attention": _attn_init(next(ki), c_last, dtype),
+        "resnet2": _resnet_init(next(ki), c_last, c_last, dtype),
+    }
+    enc["conv_norm_out"] = norm_init(c_last, dtype)
+    enc["conv_out"] = conv_init(next(ki), c_last, 2 * cfg.latent_channels, 3,
+                                dtype)
+    enc["quant_conv"] = conv_init(next(ki), 2 * cfg.latent_channels,
+                                  2 * cfg.latent_channels, 1, dtype)
+
+    # Decoder
+    dec: Dict[str, Any] = {
+        "post_quant_conv": conv_init(next(ki), cfg.latent_channels,
+                                     cfg.latent_channels, 1, dtype),
+        "conv_in": conv_init(next(ki), cfg.latent_channels, c_last, 3, dtype),
+        "mid": {
+            "resnet1": _resnet_init(next(ki), c_last, c_last, dtype),
+            "attention": _attn_init(next(ki), c_last, dtype),
+            "resnet2": _resnet_init(next(ki), c_last, c_last, dtype),
+        },
+    }
+    up = []
+    rev = list(reversed(chans))
+    in_c = c_last
+    for lv, out_c in enumerate(rev):
+        block = {"resnets": [
+            _resnet_init(next(ki), in_c if j == 0 else out_c, out_c, dtype)
+            for j in range(cfg.layers_per_block + 1)
+        ]}
+        if lv < len(rev) - 1:
+            block["upsample"] = conv_init(next(ki), out_c, out_c, 3, dtype)
+        up.append(block)
+        in_c = out_c
+    dec["up_blocks"] = up
+    dec["conv_norm_out"] = norm_init(chans[0], dtype)
+    dec["conv_out"] = conv_init(next(ki), chans[0], cfg.out_channels, 3, dtype)
+
+    return {"encoder": enc, "decoder": dec}
+
+
+def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
+               rng: jnp.ndarray | None = None, sample_mode: str = "sample"):
+    """images: (B, H, W, 3) in [-1, 1]. Returns latents (B, H/8, W/8, 4)
+    scaled by ``scaling_factor``. ``sample_mode``: 'sample' draws from the
+    posterior (reference: retrieve_latents, model_k_diffusion.py:52-58);
+    'argmax' returns the mode."""
+    enc = params["encoder"]
+    g = cfg.norm_num_groups
+    h = conv2d(enc["conv_in"], images)
+    for block in enc["down_blocks"]:
+        for r in block["resnets"]:
+            h = _resnet_apply(r, h, g)
+        if "downsample" in block:
+            # diffusers pads asymmetrically (0,1,0,1) for stride-2 downsample.
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = conv2d(block["downsample"], h, stride=2, padding="VALID")
+    h = _resnet_apply(enc["mid"]["resnet1"], h, g)
+    h = _attn_apply(enc["mid"]["attention"], h, g)
+    h = _resnet_apply(enc["mid"]["resnet2"], h, g)
+    h = silu(group_norm(enc["conv_norm_out"], h, g, 1e-6))
+    h = conv2d(enc["conv_out"], h)
+    moments = conv2d(enc["quant_conv"], h, padding="VALID")
+    mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    if sample_mode == "sample":
+        if rng is None:
+            raise ValueError("sample_mode='sample' requires an rng key")
+        std = jnp.exp(0.5 * logvar)
+        z = mean + std * jax.random.normal(rng, mean.shape, jnp.float32)
+    else:
+        z = mean
+    return z * cfg.scaling_factor
+
+
+def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """latents: (B, h, w, 4) *scaled*; returns images (B, 8h, 8w, 3) in
+    [-1, 1] (fp32)."""
+    dec = params["decoder"]
+    g = cfg.norm_num_groups
+    z = (latents / cfg.scaling_factor).astype(
+        dec["conv_in"]["kernel"].dtype
+    )
+    h = conv2d(dec["post_quant_conv"], z, padding="VALID")
+    h = conv2d(dec["conv_in"], h)
+    h = _resnet_apply(dec["mid"]["resnet1"], h, g)
+    h = _attn_apply(dec["mid"]["attention"], h, g)
+    h = _resnet_apply(dec["mid"]["resnet2"], h, g)
+    for block in dec["up_blocks"]:
+        for r in block["resnets"]:
+            h = _resnet_apply(r, h, g)
+        if "upsample" in block:
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+            h = conv2d(block["upsample"], h)
+    h = silu(group_norm(dec["conv_norm_out"], h, g, 1e-6))
+    return conv2d(dec["conv_out"], h).astype(jnp.float32)

@@ -1,0 +1,43 @@
+"""Deterministic per-step noise generation.
+
+The reference uses k-diffusion's BrownianTreeNoiseSampler (torchsde) for the
+SDE samplers so that results are deterministic per seed and independent of
+batch composition (reference: source/modules/model_k_diffusion.py:884-890).
+
+We achieve the same *guarantees* TPU-natively: every (seed, step, draw) triple
+maps to an independent standard-normal slice via PRNG key folding, generated
+in one device-side pass. Exact torchsde bit-parity is neither possible nor a
+goal (different PRNG); determinism and batch-size invariance are.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def step_noise(
+    key: jax.Array,
+    n_steps: int,
+    draws_per_step: int,
+    shape: Tuple[int, ...],
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Returns (n_steps, draws_per_step, *shape) standard normal noise.
+
+    The batch axis (shape[0]) is sampled per-element with per-sample folded
+    keys so each batch element's noise stream is independent of the batch it
+    rides in (batch-size invariance, like BrownianTree seeded per sample)."""
+    batch = shape[0]
+    sample_shape = shape[1:]
+
+    def per_sample(sample_key):
+        return jax.random.normal(
+            sample_key, (n_steps, draws_per_step) + sample_shape, dtype
+        )
+
+    keys = jax.random.split(key, batch)
+    per = jax.vmap(per_sample)(keys)  # (B, n_steps, draws, ...)
+    return jnp.moveaxis(per, 0, 2)  # (n_steps, draws, B, ...)

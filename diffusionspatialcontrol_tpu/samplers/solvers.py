@@ -1,0 +1,673 @@
+"""k-diffusion-family ODE/SDE solvers as ``lax.scan`` step loops.
+
+Each solver is a pure function
+
+    sample_<name>(denoise, x, sigmas, *, noise=None, ...) -> x_final
+
+where ``denoise(x, sigma)`` is the sigma-space denoiser D(x; sigma) (the
+"model" of k-diffusion samplers), ``sigmas`` is the *static* numpy schedule
+(n+1 values, trailing 0), and ``noise`` is a pregenerated standard-normal
+array consumed one slice per step (shape documented per solver). Passing noise
+explicitly keeps every sampler deterministic per seed and batch-size
+invariant; the pipeline derives it from a single PRNG key.
+
+Math parity targets (sampler registry: reference source/app.py:169-227):
+  * upstream k-diffusion sampling.py solvers (Euler, Euler a, LMS, Heun,
+    DPM2(a), DPM++ 2S a / 2M / SDE / 2M-SDE(+Heun) / 3M-SDE);
+  * the reference's extra samplers (source/modules/samplers_extra_k_diffusion
+    .py): Restart (:7), DDPM (:76-104), LCM (:108), Heun++ (:123).
+
+All per-step scalar math (sigma ratios, h, multistep coefficients) flows
+through scan inputs in fp32; branch selection uses ``jnp.where`` on scalars so
+the whole loop is one compiled program with no host sync per step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import get_sigmas_karras
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def to_d(x, sigma, denoised):
+    """Convert a denoiser output to an ODE derivative (k-diffusion utils)."""
+    return (x - denoised) / sigma
+
+
+def get_ancestral_step(sigma_from, sigma_to, eta=1.0):
+    """k-diffusion get_ancestral_step (numpy, static)."""
+    if eta == 0.0:
+        return sigma_to, np.zeros_like(sigma_to)
+    sigma_up = np.minimum(
+        sigma_to,
+        eta
+        * np.sqrt(
+            sigma_to**2 * (sigma_from**2 - sigma_to**2)
+            / np.maximum(sigma_from**2, 1e-20)
+        ),
+    )
+    sigma_down = np.sqrt(np.maximum(sigma_to**2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+def _default_noise(noise, n_steps, x, per_step=1):
+    if noise is None:
+        return jnp.zeros((n_steps, per_step) + x.shape, x.dtype)
+    noise = jnp.asarray(noise, x.dtype)
+    if noise.ndim == x.ndim + 1:
+        noise = noise[:, None]
+    return noise
+
+
+# ---------------------------------------------------------------------------
+# First-order
+# ---------------------------------------------------------------------------
+
+
+def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                 **_):
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
+
+    def body(x, s):
+        sigma, sigma_next = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        return x + d * (sigma_next - sigma), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_euler_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                           noise=None, eta=1.0, s_noise=1.0, **_):
+    """noise: (n_steps, *x.shape)."""
+    down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
+    nz = _default_noise(noise, len(sigmas) - 1, x)
+    xs = (_f32(sigmas[:-1]), _f32(down), _f32(up), nz[:, 0])
+
+    def body(x, s):
+        sigma, sigma_down, sigma_up, z = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        x = x + d * (sigma_down - sigma)
+        return x + z * (s_noise * sigma_up), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+               s_noise=1.0, **_):
+    """Reference: samplers_extra_k_diffusion.py:108-120."""
+    nz = _default_noise(noise, len(sigmas) - 1, x)
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]), nz[:, 0])
+
+    def body(x, s):
+        sigma, sigma_next, z = s
+        denoised = denoise(x, sigma)
+        x = denoised + jnp.where(sigma_next > 0, sigma_next, 0.0) * z
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                s_noise=1.0, **_):
+    """DDPM ancestral stepping in the reference's sqrt(1+sigma^2)-rescaled
+    space (reference: samplers_extra_k_diffusion.py:76-104)."""
+    nz = _default_noise(noise, len(sigmas) - 1, x)
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]), nz[:, 0])
+
+    def body(x, s):
+        sigma, sigma_next, z = s
+        denoised = denoise(x, sigma)
+        eps = (x - denoised) / sigma
+        xr = x / jnp.sqrt(1.0 + sigma**2)
+        ac = 1.0 / (sigma * sigma + 1.0)
+        ac_prev = 1.0 / (sigma_next * sigma_next + 1.0)
+        alpha = ac / ac_prev
+        mu = jnp.sqrt(1.0 / alpha) * (
+            xr - (1.0 - alpha) * eps / jnp.sqrt(1.0 - ac)
+        )
+        add_noise = jnp.sqrt(
+            jnp.maximum((1.0 - alpha) * (1.0 - ac_prev) / (1.0 - ac), 0.0)
+        )
+        mu = mu + jnp.where(sigma_next > 0, add_noise, 0.0) * z
+        x = mu * jnp.where(sigma_next > 0, jnp.sqrt(1.0 + sigma_next**2), 1.0)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Second-order (Heun / DPM2 family)
+# ---------------------------------------------------------------------------
+
+
+def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None, **_):
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
+
+    def body(x, s):
+        sigma, sigma_next = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        dt = sigma_next - sigma
+        x_euler = x + d * dt
+        # Heun correction (skipped when sigma_next == 0)
+        sigma_next_safe = jnp.maximum(sigma_next, 1e-10)
+        denoised_2 = denoise(x_euler, sigma_next_safe)
+        d_2 = to_d(x_euler, sigma_next_safe, denoised_2)
+        x_heun = x + (d + d_2) / 2 * dt
+        return jnp.where(sigma_next == 0, x_euler, x_heun), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                   **_):
+    """Heun++ third-order weighted sampler
+    (reference: samplers_extra_k_diffusion.py:123-176)."""
+    n = len(sigmas) - 1
+    s_end = sigmas[-1]
+    sigma0 = float(sigmas[0])
+    # Per-step static branch selection: 0=euler (last), 1=heun (second to
+    # last), 2=heun++.
+    branch = np.full(n, 2, dtype=np.int32)
+    for i in range(n):
+        if sigmas[i + 1] == s_end:
+            branch[i] = 0
+        elif i + 2 <= n and sigmas[i + 2] == s_end:
+            branch[i] = 1
+    sig_next2 = np.concatenate([sigmas[2:], [0.0]])[:n]
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]), _f32(sig_next2),
+          jnp.asarray(branch))
+
+    def body(x, s):
+        sigma, sigma_next, sigma_next2, br = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        dt = sigma_next - sigma
+
+        x_euler = x + d * dt
+
+        sn = jnp.maximum(sigma_next, 1e-10)
+        denoised_2 = denoise(x_euler, sn)
+        d_2 = to_d(x_euler, sn, denoised_2)
+        w_h = 2.0 * sigma0
+        w2_h = sigma_next / w_h
+        x_heun = x + (d * (1 - w2_h) + d_2 * w2_h) * dt
+
+        dt_2 = sigma_next2 - sigma_next
+        x_3 = x_euler + d_2 * dt_2
+        sn2 = jnp.maximum(sigma_next2, 1e-10)
+        denoised_3 = denoise(x_3, sn2)
+        d_3 = to_d(x_3, sn2, denoised_3)
+        w_p = 3.0 * sigma0
+        w2 = sigma_next / w_p
+        w3 = sigma_next2 / w_p
+        x_pp = x + (d * (1 - w2 - w3) + d_2 * w2 + d_3 * w3) * dt
+
+        x = jnp.where(br == 0, x_euler, jnp.where(br == 1, x_heun, x_pp))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                 **_):
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_mid = np.exp(
+            0.5 * (np.log(np.maximum(sig, 1e-20))
+                   + np.log(np.maximum(sig_next, 1e-20)))
+        )
+    sigma_mid = np.where(sig_next == 0, sig, sigma_mid)  # guarded below
+    xs = (_f32(sig), _f32(sig_next), _f32(sigma_mid))
+
+    def body(x, s):
+        sigma, sigma_next, s_mid = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_next - sigma)
+        x_2 = x + d * (s_mid - sigma)
+        denoised_2 = denoise(x_2, s_mid)
+        d_2 = to_d(x_2, s_mid, denoised_2)
+        x_dpm = x + d_2 * (sigma_next - sigma)
+        return jnp.where(sigma_next == 0, x_euler, x_dpm), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_dpm_2_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                           noise=None, eta=1.0, s_noise=1.0, **_):
+    down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
+    sig = sigmas[:-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_mid = np.exp(
+            0.5 * (np.log(np.maximum(sig, 1e-20))
+                   + np.log(np.maximum(down, 1e-20)))
+        )
+    sigma_mid = np.where(down == 0, sig, sigma_mid)
+    nz = _default_noise(noise, len(sigmas) - 1, x)
+    xs = (_f32(sig), _f32(down), _f32(up), _f32(sigma_mid), nz[:, 0])
+
+    def body(x, s):
+        sigma, sigma_down, sigma_up, s_mid, z = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_down - sigma)
+        x_2 = x + d * (s_mid - sigma)
+        denoised_2 = denoise(x_2, s_mid)
+        d_2 = to_d(x_2, s_mid, denoised_2)
+        x_dpm = x + d_2 * (sigma_down - sigma)
+        x = jnp.where(sigma_down == 0, x_euler, x_dpm)
+        return x + z * (s_noise * sigma_up), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# LMS (linear multistep, order 4)
+# ---------------------------------------------------------------------------
+
+
+def _lms_coeffs(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
+    """Exact Adams-Bashforth-style coefficients by polynomial integration
+    (k-diffusion linear_multistep_coeff, but integrated exactly with
+    numpy.poly1d instead of adaptive quadrature)."""
+    n = len(sigmas) - 1
+    coeffs = np.zeros((n, order), dtype=np.float64)
+    for i in range(n):
+        cur_order = min(i + 1, order)
+        for j in range(cur_order):
+            poly = np.poly1d([1.0])
+            denom = 1.0
+            for k in range(cur_order):
+                if k == j:
+                    continue
+                poly *= np.poly1d([1.0, -sigmas[i - k]])
+                denom *= sigmas[i - j] - sigmas[i - k]
+            anti = poly.integ()
+            coeffs[i, j] = (anti(sigmas[i + 1]) - anti(sigmas[i])) / denom
+    return coeffs
+
+
+def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+               order: int = 4, **_):
+    n = len(sigmas) - 1
+    coeffs = _lms_coeffs(sigmas, order)
+    xs = (_f32(sigmas[:-1]), _f32(coeffs))
+    d_hist = jnp.zeros((order,) + x.shape, x.dtype)
+
+    def body(carry, s):
+        x, d_hist = carry
+        sigma, cs = s
+        denoised = denoise(x, sigma)
+        d = to_d(x, sigma, denoised)
+        # Ring: newest at index 0.
+        d_hist = jnp.concatenate([d[None], d_hist[:-1]], axis=0)
+        update = jnp.einsum("o,o...->...", cs, d_hist)
+        return (x + update, d_hist), None
+
+    (x, _), _ = jax.lax.scan(body, (x, d_hist), xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# DPM++ family
+# ---------------------------------------------------------------------------
+
+
+def sample_dpmpp_2s_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                              noise=None, eta=1.0, s_noise=1.0, **_):
+    down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
+    sig = sigmas[:-1]
+    # t-space: t = -log(sigma); s = t + h/2; sigma_s = exp(-s)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -np.log(np.maximum(sig, 1e-20))
+        t_next = -np.log(np.maximum(down, 1e-20))
+        h = t_next - t
+        sigma_s = np.exp(-(t + 0.5 * h))
+    sigma_s = np.where(down == 0, sig, sigma_s)
+    h = np.where(down == 0, 0.0, h)
+    nz = _default_noise(noise, len(sigmas) - 1, x)
+    xs = (_f32(sig), _f32(down), _f32(up), _f32(sigma_s), _f32(h), nz[:, 0])
+
+    def body(x, s):
+        sigma, sigma_down, sigma_up, s_mid, h, z = s
+        denoised = denoise(x, sigma)
+        # Euler fallback for the final step
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_down - sigma)
+        # DPM++ 2S
+        x_2 = (s_mid / sigma) * x - jnp.expm1(-0.5 * h) * denoised
+        denoised_2 = denoise(x_2, jnp.maximum(s_mid, 1e-10))
+        x_dpm = (sigma_down / sigma) * x - jnp.expm1(-h) * denoised_2
+        x = jnp.where(sigma_down == 0, x_euler, x_dpm)
+        return x + z * (s_noise * sigma_up), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                    **_):
+    """DPM-Solver++(2M) — the reference's headline sampler
+    (README.md:69 'DPM++ 2M Karras')."""
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -np.log(np.maximum(sig, 1e-20))
+        t_next = -np.log(np.maximum(sig_next, 1e-20))
+    h = t_next - t
+    h_last = np.concatenate([[1.0], h[:-1]])
+    r = h_last / np.where(h == 0, 1.0, h)
+    # first step or final (sigma_next == 0) -> plain update with denoised
+    use_plain = np.zeros(n, bool)
+    use_plain[0] = True
+    use_plain |= sig_next == 0
+    expm1_term = np.where(sig_next == 0, -1.0, np.expm1(-h))
+    ratio = sig_next / sig
+    xs = (
+        _f32(ratio),
+        _f32(expm1_term),
+        _f32(r),
+        jnp.asarray(use_plain),
+        _f32(sig),
+    )
+
+    def body(carry, s):
+        x, old_denoised = carry
+        ratio, em1, r, plain, sigma = s
+        denoised = denoise(x, sigma)
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+        d_use = jnp.where(plain, denoised, denoised_d)
+        x = ratio * x - em1 * d_use
+        return (x, denoised), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
+    return x
+
+
+def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                     eta=1.0, s_noise=1.0, r=0.5, **_):
+    """DPM++ SDE. noise: (n_steps, 2, *x.shape) — two draws per step
+    (k-diffusion uses a Brownian tree; see samplers/brownian.py)."""
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -np.log(np.maximum(sig, 1e-20))
+        t_next = -np.log(np.maximum(sig_next, 1e-20))
+        h = t_next - t
+        s = t + h * r
+        sigma_s = np.exp(-s)
+    fac = 1.0 / (2.0 * r)
+    sd1, su1 = get_ancestral_step(sig, sigma_s, eta)
+    sd2, su2 = get_ancestral_step(sig, sig_next, eta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s_down = -np.log(np.maximum(sd1, 1e-20))
+        t_next_down = -np.log(np.maximum(sd2, 1e-20))
+        em_mid = np.expm1(t - s_down)
+        em_full = np.expm1(t - t_next_down)
+    final = sig_next == 0
+    nz = _default_noise(noise, n, x, per_step=2)
+    xs = (
+        _f32(sig), _f32(sig_next), _f32(sigma_s),
+        _f32(np.where(final, 0.0, sd1 / sig)),
+        _f32(np.where(final, 0.0, em_mid)),
+        _f32(np.where(final, 0.0, su1)),
+        _f32(np.where(final, 0.0, sd2 / sig)),
+        _f32(np.where(final, -1.0, em_full)),
+        _f32(np.where(final, 0.0, su2)),
+        jnp.asarray(final),
+        nz[:, 0], nz[:, 1],
+    )
+
+    def body(x, sc):
+        (sigma, sigma_next, s_mid, ratio1, em1, su1, ratio2, em2, su2,
+         is_final, z1, z2) = sc
+        denoised = denoise(x, sigma)
+        # final Euler step
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_next - sigma)
+        # step 1 to s
+        x_2 = ratio1 * x - em1 * denoised
+        x_2 = x_2 + z1 * (s_noise * su1)
+        denoised_2 = denoise(x_2, jnp.maximum(s_mid, 1e-10))
+        # step 2
+        denoised_d = (1 - fac) * denoised + fac * denoised_2
+        x_sde = ratio2 * x - em2 * denoised_d
+        x_sde = x_sde + z2 * (s_noise * su2)
+        return jnp.where(is_final, x_euler, x_sde), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def sample_dpmpp_2m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                        noise=None, eta=1.0, s_noise=1.0,
+                        solver_type="midpoint", **_):
+    if solver_type not in ("midpoint", "heun"):
+        raise ValueError(f"invalid solver_type {solver_type}")
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    final = sig_next == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = -np.log(np.maximum(sig_next, 1e-20)) + np.log(
+            np.maximum(sig, 1e-20)
+        )
+    h = np.where(final, 1.0, h)
+    eta_h = eta * h
+    h_last = np.concatenate([[1.0], h[:-1]])
+    r = h_last / h
+    first = np.zeros(n, bool)
+    first[0] = True
+    decay = (sig_next / sig) * np.exp(-eta_h)
+    em = -np.expm1(-h - eta_h)
+    if solver_type == "heun":
+        corr = (em / (-h - eta_h) + 1.0) / r
+    else:
+        corr = 0.5 * em / r
+    noise_std = sig_next * np.sqrt(np.maximum(-np.expm1(-2 * eta_h), 0.0))
+    nz = _default_noise(noise, n, x)
+    xs = (
+        _f32(sig),
+        _f32(np.where(final, 0.0, decay)),
+        _f32(np.where(final, 1.0, em)),
+        _f32(np.where(final | first, 0.0, corr)),
+        _f32(np.where(final, 0.0, noise_std)),
+        nz[:, 0],
+    )
+
+    def body(carry, s):
+        x, old_denoised = carry
+        sigma, decay, em, corr, nstd, z = s
+        denoised = denoise(x, sigma)
+        x = decay * x + em * denoised
+        x = x + corr * (denoised - old_denoised)
+        x = x + z * (s_noise * nstd)
+        return (x, denoised), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
+    return x
+
+
+def sample_dpmpp_3m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                        noise=None, eta=1.0, s_noise=1.0, **_):
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    final = sig_next == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = -np.log(np.maximum(sig_next, 1e-20)) + np.log(
+            np.maximum(sig, 1e-20)
+        )
+    h = np.where(final, 1.0, h)
+    h_eta = h * (eta + 1.0)
+    h1 = np.concatenate([[1.0], h[:-1]])
+    h2 = np.concatenate([[1.0, 1.0], h[:-2]])
+    r0 = h1 / h
+    r1 = h2 / h
+    step_idx = np.arange(n)
+    # order per step: 0 on the first step, 1 on the second, 2 after; forced to
+    # 0 (no multistep correction) on the final sigma==0 step.
+    order = np.minimum(step_idx, 2)
+    order = np.where(final, 0, order)
+    noise_std = sig_next * np.sqrt(np.maximum(-np.expm1(-2 * h * eta), 0.0))
+    nz = _default_noise(noise, n, x)
+    xs = (
+        _f32(sig),
+        _f32(np.where(final, 0.0, np.exp(-h_eta))),
+        _f32(np.where(final, 1.0, -np.expm1(-h_eta))),
+        _f32(h_eta), _f32(r0), _f32(r1),
+        jnp.asarray(order),
+        _f32(np.where(final, 0.0, noise_std)),
+        nz[:, 0],
+    )
+
+    def body(carry, s):
+        x, d1m, d2m = carry
+        sigma, decay, em, h_eta, r0, r1, order, nstd, z = s
+        denoised = denoise(x, sigma)
+        x = decay * x + em * denoised
+
+        phi_2 = jnp.expm1(-h_eta) / h_eta + 1.0
+        phi_3 = phi_2 / h_eta - 0.5
+
+        d1_0 = (denoised - d1m) / r0
+        d1_1 = (d1m - d2m) / r1
+        d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        upd3 = phi_2 * d1 - phi_3 * d2
+        upd2 = phi_2 * d1_0
+        upd = jnp.where(order >= 2, upd3, jnp.where(order >= 1, upd2, 0.0))
+        x = x + upd
+        x = x + z * (s_noise * nstd)
+        return (x, denoised, d1m), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x),
+                                       jnp.zeros_like(x)), xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Restart sampling (reference: samplers_extra_k_diffusion.py:7-73)
+# ---------------------------------------------------------------------------
+
+
+def _restart_plan(sigmas: np.ndarray, restart_list=None):
+    steps = len(sigmas) - 1
+    if restart_list is None:
+        if steps >= 20:
+            restart_steps = 9
+            restart_times = 1
+            if steps >= 36:
+                restart_steps = steps // 4
+                restart_times = 2
+            sigmas = get_sigmas_karras(
+                steps - restart_steps * restart_times,
+                float(sigmas[-2]), float(sigmas[0])
+            )
+            restart_list = {0.1: [restart_steps + 1, restart_times, 2]}
+        else:
+            restart_list = {}
+    idx_list = {
+        int(np.argmin(np.abs(sigmas - key))): value
+        for key, value in restart_list.items()
+    }
+    step_list = []
+    for i in range(len(sigmas) - 1):
+        step_list.append((sigmas[i], sigmas[i + 1]))
+        if i + 1 in idx_list:
+            restart_steps, restart_times, restart_max = idx_list[i + 1]
+            min_idx = i + 1
+            max_idx = int(np.argmin(np.abs(sigmas - restart_max)))
+            if max_idx < min_idx:
+                sigma_restart = get_sigmas_karras(
+                    restart_steps, float(sigmas[min_idx]),
+                    float(sigmas[max_idx])
+                )[:-1]
+                for _ in range(restart_times):
+                    step_list.extend(zip(sigma_restart[:-1], sigma_restart[1:]))
+    return step_list
+
+
+def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+                   s_noise=1.0, restart_list=None, **_):
+    """noise: (len(step_list), *x.shape); use restart_plan_len to size it."""
+    step_list = _restart_plan(sigmas, restart_list)
+    old_s = np.array([s[0] for s in step_list])
+    new_s = np.array([s[1] for s in step_list])
+    last_s = np.concatenate([[old_s[0]], new_s[:-1]])
+    inject = np.where(
+        last_s < old_s, np.sqrt(np.maximum(old_s**2 - last_s**2, 0.0)), 0.0
+    )
+    nz = _default_noise(noise, len(step_list), x)
+    xs = (_f32(old_s), _f32(new_s), _f32(inject), nz[:, 0])
+
+    def body(x, s):
+        old_sigma, new_sigma, inj, z = s
+        x = x + z * (s_noise * inj)
+        denoised = denoise(x, old_sigma)
+        d = to_d(x, old_sigma, denoised)
+        dt = new_sigma - old_sigma
+        x_euler = x + d * dt
+        ns = jnp.maximum(new_sigma, 1e-10)
+        denoised_2 = denoise(x_euler, ns)
+        d_2 = to_d(x_euler, ns, denoised_2)
+        x_heun = x + (d + d_2) / 2 * dt
+        return jnp.where(new_sigma == 0, x_euler, x_heun), None
+
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def restart_plan_len(sigmas: np.ndarray, restart_list=None) -> int:
+    return len(_restart_plan(sigmas, restart_list))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (solver fn, noise draws per step [0 = deterministic], default opts)
+SOLVERS = {
+    "euler": (sample_euler, 0, {}),
+    "euler_ancestral": (sample_euler_ancestral, 1, {}),
+    "lms": (sample_lms, 0, {}),
+    "lcm": (sample_lcm, 1, {}),
+    "heun": (sample_heun, 0, {}),
+    "heunpp2": (sample_heunpp2, 0, {}),
+    "ddpm": (sample_ddpm, 1, {}),
+    "dpm_2": (sample_dpm_2, 0, {"discard_next_to_last_sigma": True}),
+    "dpm_2_ancestral": (
+        sample_dpm_2_ancestral, 1, {"discard_next_to_last_sigma": True}
+    ),
+    "dpmpp_2s_ancestral": (sample_dpmpp_2s_ancestral, 1, {}),
+    "dpmpp_2m": (sample_dpmpp_2m, 0, {}),
+    "dpmpp_sde": (sample_dpmpp_sde, 2, {"brownian": True}),
+    "dpmpp_2m_sde": (sample_dpmpp_2m_sde, 1, {"brownian": True}),
+    "dpmpp_2m_sde_heun": (
+        sample_dpmpp_2m_sde, 1, {"brownian": True, "solver_type": "heun"}
+    ),
+    "dpmpp_3m_sde": (
+        sample_dpmpp_3m_sde, 1,
+        {"brownian": True, "discard_next_to_last_sigma": True},
+    ),
+    "restart": (sample_restart, 1, {}),
+}

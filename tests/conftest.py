@@ -1,0 +1,27 @@
+"""Test harness: force an 8-virtual-device CPU mesh.
+
+The container's sitecustomize registers the axon TPU backend and sets
+``jax_platforms='axon,cpu'`` at interpreter start, overriding JAX_PLATFORMS.
+Tests must run on a virtual CPU mesh (fast, 8 devices for sharding tests), so
+we re-point the config before any backend is used. bench.py runs on the real
+chip instead.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # pragma: no cover
+    from jax.extend.backend import clear_backends
+
+    clear_backends()

@@ -1,0 +1,185 @@
+"""Sampler math vs closed-form references.
+
+Strategy per SURVEY.md §4: for the linear toy SDE whose denoiser is exact,
+every consistent ODE solver must recover the analytic solution; DPM++ 2M and
+schedules are additionally checked against hand-derived values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionspatialcontrol_tpu.config import ModelConfig
+from diffusionspatialcontrol_tpu.samplers import schedules, solvers
+
+
+def perfect_denoiser(x0):
+    """If the data distribution is a point mass at x0, the optimal denoiser
+    is D(x; sigma) = x0 for all sigma (x = x0 + sigma*eps)."""
+
+    def denoise(x, sigma):
+        return jnp.broadcast_to(x0, x.shape)
+
+    return denoise
+
+
+CFG = ModelConfig()
+
+
+def test_sigma_table_matches_ddpm():
+    tab = schedules.ddpm_sigma_table(CFG)
+    assert tab.shape == (1000,)
+    # Known endpoints for SD's scaled_linear schedule
+    assert 0.0290 < tab[0] < 0.0295
+    assert 14.5 < tab[-1] < 14.7
+    assert np.all(np.diff(tab) > 0)
+
+
+def test_karras_schedule_shape_and_monotonicity():
+    s = schedules.get_sigmas(CFG, 25, "karras")
+    assert len(s) == 26
+    assert s[-1] == 0.0
+    assert np.all(np.diff(s[:-1]) < 0)
+    tab = schedules.ddpm_sigma_table(CFG)
+    assert np.isclose(s[0], tab[-1])
+    assert np.isclose(s[-2], tab[0])
+
+
+def test_discard_next_to_last_sigma():
+    s_plain = schedules.get_sigmas(CFG, 10, "karras", False)
+    s_disc = schedules.get_sigmas(CFG, 10, "karras", True)
+    assert len(s_plain) == len(s_disc) == 11
+    # discard: computed with n+1 then penultimate dropped
+    s_11 = schedules.get_sigmas(CFG, 11, "karras", False)
+    np.testing.assert_allclose(s_disc[:-1], s_11[:-2])
+    assert s_disc[-1] == 0.0
+
+
+def test_sigma_to_t_roundtrip():
+    tab = schedules.ddpm_sigma_table(CFG)
+    for t in [0, 100, 500, 999]:
+        assert abs(schedules.sigma_to_t(tab[t], tab) - t) < 1e-6
+    # interpolated point lands between neighbors
+    mid = np.sqrt(tab[10] * tab[11])
+    t = schedules.sigma_to_t(mid, tab)
+    assert 10 < t < 11
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "euler",
+        "heun",
+        "dpm_2",
+        "dpmpp_2m",
+        "lms",
+        "heunpp2",
+        "dpmpp_2s_ancestral",
+        "dpmpp_sde",
+        "dpmpp_2m_sde",
+        "dpmpp_3m_sde",
+        "euler_ancestral",
+        "dpm_2_ancestral",
+        "lcm",
+        "ddpm",
+        "restart",
+    ],
+)
+def test_solver_converges_to_x0_for_perfect_denoiser(name):
+    """With D(x;sigma)=x0 exactly, x(sigma->0) = x0 for any consistent
+    solver (d = (x-x0)/sigma integrates to a straight line hitting x0)."""
+    fn, draws, defaults = solvers.SOLVERS[name]
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 2), jnp.float32)
+    sigmas = schedules.get_sigmas(
+        CFG, 12, "karras", defaults.get("discard_next_to_last_sigma", False)
+    )
+    x = x0 + sigmas[0] * jnp.asarray(
+        np.random.RandomState(1).randn(*x0.shape), jnp.float32
+    )
+    kwargs = {}
+    if name == "restart":
+        n = solvers.restart_plan_len(sigmas)
+        kwargs["noise"] = jnp.zeros((n,) + x0.shape)
+    elif draws:
+        kwargs["noise"] = jnp.zeros((len(sigmas) - 1, draws) + x0.shape)
+    out = fn(perfect_denoiser(x0), x, sigmas, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_dpmpp_2m_matches_reference_recurrence():
+    """Step-by-step replication of k-diffusion sample_dpmpp_2m in pure
+    numpy for a nonlinear denoiser; the scan implementation must match."""
+    rng = np.random.RandomState(42)
+    shape = (1, 2, 2, 1)
+    x0 = rng.randn(*shape).astype(np.float32)
+
+    def denoise_np(x, sigma):
+        # a denoiser that actually depends on x and sigma
+        return x0 + 0.1 * np.tanh(x) * sigma / (sigma + 1.0)
+
+    sigmas = schedules.get_sigmas(CFG, 8, "karras")
+    x = (x0 + sigmas[0] * rng.randn(*shape)).astype(np.float32)
+
+    # numpy reference (k-diffusion recurrence)
+    xr = x.copy()
+    old_denoised = None
+    for i in range(len(sigmas) - 1):
+        denoised = denoise_np(xr, sigmas[i])
+        t, t_next = -np.log(sigmas[i]), (
+            -np.log(sigmas[i + 1]) if sigmas[i + 1] > 0 else np.inf
+        )
+        h = t_next - t
+        if old_denoised is None or sigmas[i + 1] == 0:
+            xr = (sigmas[i + 1] / sigmas[i]) * xr - (
+                np.expm1(-h) if np.isfinite(h) else -1.0
+            ) * denoised
+        else:
+            h_last = t - (-np.log(sigmas[i - 1]))
+            r = h_last / h
+            dd = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+            xr = (sigmas[i + 1] / sigmas[i]) * xr - np.expm1(-h) * dd
+        old_denoised = denoised
+
+    def denoise_jnp(x, sigma):
+        return jnp.asarray(x0) + 0.1 * jnp.tanh(x) * sigma / (sigma + 1.0)
+
+    out = solvers.sample_dpmpp_2m(denoise_jnp, jnp.asarray(x), sigmas)
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_euler_ancestral_matches_reference_recurrence():
+    rng = np.random.RandomState(3)
+    shape = (1, 2, 2, 1)
+    x0 = rng.randn(*shape).astype(np.float32)
+    sigmas = schedules.get_sigmas(CFG, 6, "default")
+    x = (x0 + sigmas[0] * rng.randn(*shape)).astype(np.float32)
+    noise = rng.randn(len(sigmas) - 1, *shape).astype(np.float32)
+
+    def denoise_np(x, sigma):
+        return x0 + 0.05 * x * sigma / (sigma + 1.0)
+
+    xr = x.copy()
+    for i in range(len(sigmas) - 1):
+        denoised = denoise_np(xr, sigmas[i])
+        sd, su = solvers.get_ancestral_step(sigmas[i], sigmas[i + 1], 1.0)
+        d = (xr - denoised) / sigmas[i]
+        xr = xr + d * (sd - sigmas[i]) + noise[i] * su
+
+    def denoise_jnp(x, sigma):
+        return jnp.asarray(x0) + 0.05 * x * sigma / (sigma + 1.0)
+
+    out = solvers.sample_euler_ancestral(
+        denoise_jnp, jnp.asarray(x), sigmas, noise=jnp.asarray(noise)
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_lms_coefficients_sum_to_dt():
+    """Sum of LMS coefficients equals sigma_{i+1}-sigma_i (the constant-d
+    case must reduce to Euler)."""
+    sigmas = schedules.get_sigmas(CFG, 10, "karras")
+    coeffs = solvers._lms_coeffs(sigmas, 4)
+    np.testing.assert_allclose(
+        coeffs.sum(1), np.diff(sigmas), rtol=1e-9, atol=1e-12
+    )
