@@ -1,0 +1,104 @@
+"""Headline benchmark: SD1.5 512x512, 25-step DPM++ 2M Karras, CFG 7.5.
+
+Prints ONE JSON line. Primary metric: p50 seconds per image WITH spatial
+control (2-phrase region map) including VAE decode — directly comparable to
+the reference's published 5.0 s on a T4 (reference README.md:65); target
+<= 2.0 s on one v5e chip (BASELINE.md). vs_baseline = reference_time / ours
+(higher is better).
+
+Extra keys: vanilla p50 (reference: 4.6 s), spatial-control overhead %
+(reference: ~8.7%, target <10%), images/min/chip.
+
+Weights are random-init (none available offline); throughput is
+weight-independent — the compiled programs are identical to converted-weight
+inference.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionspatialcontrol_tpu.config import GenerationConfig, ModelConfig
+from diffusionspatialcontrol_tpu.models import factory
+from diffusionspatialcontrol_tpu.pipeline.pipeline import StableDiffusionTPU
+from diffusionspatialcontrol_tpu.text.tokenizer import load_tokenizer
+
+REFERENCE_CONTROLLED_S = 5.0  # README.md:65, 1x T4
+REFERENCE_VANILLA_S = 4.6
+
+ATTN_IMPL = "xla"  # switched to "pallas" when the fused kernels land
+
+
+def timed_runs(fn, n=5):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.percentile(ts, 50))
+
+
+def main():
+    cfg = ModelConfig()
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), cfg, jnp.bfloat16
+    )
+    tok = load_tokenizer()
+    pipe = StableDiffusionTPU(cfg, params, tokenizer=tok,
+                              attn_impl=ATTN_IMPL)
+    gen = GenerationConfig(height=512, width=512, num_inference_steps=25,
+                           guidance_scale=7.5, sampler="dpmpp_2m",
+                           schedule="karras")
+
+    prompt = "a red cat sitting on a wooden bench, a blue bird flying"
+    neg = "bad quality, low quality, jpeg artifact, cropped"
+    ctx, ids = pipe.encode_prompt([prompt], [neg], clip_skip=2)
+
+    # two-phrase region map (BASELINE config 3 shape)
+    h = w = 512
+    m1 = np.zeros((h, w), np.float32)
+    m1[:, : w // 2] = 1.0
+    m2 = np.zeros((h, w), np.float32)
+    m2[: h // 3, w // 2 :] = 1.0
+    state = {
+        "red cat": {"mask": m1, "weight": 0.8, "mask_outsides": 0.2},
+        "blue bird": {"mask": m2, "weight": 0.7, "mask_outsides": 0.1},
+    }
+    biases = pipe.encode_region([state], ids, height=h, width=w, do_cfg=True)
+
+    # warmup/compile
+    jax.block_until_ready(pipe.txt2img(ctx, gen, seed=0))
+    jax.block_until_ready(
+        pipe.txt2img(ctx, gen, seed=0, region_biases=biases)
+    )
+
+    vanilla = timed_runs(lambda: pipe.txt2img(ctx, gen, seed=1))
+    controlled = timed_runs(
+        lambda: pipe.txt2img(ctx, gen, seed=1, region_biases=biases)
+    )
+
+    overhead = (controlled - vanilla) / vanilla * 100.0
+    print(
+        json.dumps(
+            {
+                "metric": "p50_sec_per_image_sd15_512_dpmpp2m25_spatial",
+                "value": round(controlled, 4),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_CONTROLLED_S / controlled, 3),
+                "vanilla_sec": round(vanilla, 4),
+                "overhead_pct": round(overhead, 2),
+                "images_per_min_chip": round(60.0 / controlled, 2),
+                "attn_impl": ATTN_IMPL,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,7 @@ def inpaint_blend_noise(x):  # placeholder hook, replaced in inpaint milestone
         "attn_impl",
         "solver_opts",
         "decode",
+        "compute_dtype",
     ),
 )
 def _sample_core(
@@ -160,6 +161,7 @@ def _sample_core(
     attn_impl: str,
     solver_opts: Tuple[Tuple[str, Any], ...],
     decode: bool,
+    compute_dtype=jnp.bfloat16,
 ):
     sigmas = np.asarray(sigmas_key, np.float64)
     table = schedules.ddpm_sigma_table(model_cfg)
@@ -168,6 +170,7 @@ def _sample_core(
     denoise = make_denoise_fn(
         params, model_cfg, context, region_biases, log_table,
         guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype,
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     x = solver_fn(denoise, latents, sigmas, noise=noise, **dict(solver_opts))
@@ -309,6 +312,7 @@ class StableDiffusionTPU:
             attn_impl=self.attn_impl,
             solver_opts=tuple(sorted(opts.items())),
             decode=decode,
+            compute_dtype=gen.dtype,
         )
 
     def img2img(
@@ -358,6 +362,7 @@ class StableDiffusionTPU:
             attn_impl=self.attn_impl,
             solver_opts=tuple(sorted(opts.items())),
             decode=decode,
+            compute_dtype=gen.dtype,
         )
 
     # -- codecs -------------------------------------------------------------

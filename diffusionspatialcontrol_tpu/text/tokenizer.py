@@ -18,10 +18,9 @@ import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
-_WORD_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
-)
-# Python's re has no \p classes; fall back to a close ASCII+unicode pattern.
+# CLIP's original pattern uses \p{L}/\p{N}; Python's re has no \p classes, so
+# use a close ASCII+Latin-supplement approximation (identical behavior on
+# typical English SD prompts).
 _WORD_PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-ZÀ-￿]+|[0-9]|[^\sa-zA-Z0-9À-￿]+"
 )
@@ -197,16 +196,17 @@ class HashTokenizer:
         for word in _basic_clean(text).lower().split(" "):
             if not word:
                 continue
-            # split trailing commas like BPE would
+            # split trailing commas into their own token, like BPE would
+            n_commas = 0
             while word.endswith(","):
                 word = word[:-1]
-            if not word:
-                ids.append(self.comma_token_id)
-                continue
-            h = 2166136261
-            for ch in word.encode("utf-8"):
-                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-            ids.append(int(h % 49000))
+                n_commas += 1
+            if word:
+                h = 2166136261
+                for ch in word.encode("utf-8"):
+                    h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+                ids.append(int(h % 49000))
+            ids.extend([self.comma_token_id] * n_commas)
         return ids
 
     def encode(self, text, add_special_tokens=True, truncation=False,

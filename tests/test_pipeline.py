@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests on a tiny model."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionspatialcontrol_tpu.config import (
+    GenerationConfig,
+    ModelConfig,
+    UNetConfig,
+    VAEConfig,
+    CLIPTextConfig,
+)
+from diffusionspatialcontrol_tpu.models import factory
+from diffusionspatialcontrol_tpu.pipeline.pipeline import StableDiffusionTPU
+from diffusionspatialcontrol_tpu.text.tokenizer import HashTokenizer
+
+TINY = ModelConfig(
+    name="tiny",
+    clip=CLIPTextConfig(vocab_size=49408, hidden_size=64,
+                        intermediate_size=128, num_layers=2, num_heads=4),
+    unet=UNetConfig(block_out_channels=(32, 64, 128, 128),
+                    cross_attention_dim=64,
+                    num_attention_heads=(2, 2, 2, 2), norm_num_groups=8),
+    vae=VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=4),
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), TINY, jnp.float32
+    )
+    return StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+
+
+GEN = GenerationConfig(height=64, width=64, num_inference_steps=4,
+                       dtype=jnp.float32)
+
+
+def test_txt2img_end_to_end(pipe):
+    ctx, ids = pipe.encode_prompt(["a cat on a bench"], ["low quality"])
+    assert ctx.shape == (2, 77, 64)
+    img = pipe.txt2img(ctx, GEN, seed=7)
+    assert img.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    u8 = pipe.to_uint8(img)
+    assert u8.dtype == np.uint8
+
+
+def test_txt2img_seed_determinism(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    a = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+    b = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+    c = pipe.txt2img(ctx, GEN, seed=4, decode=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_txt2img_with_region_control(pipe):
+    prompt = "a red cat and a blue dog"
+    ctx, ids = pipe.encode_prompt([prompt], [""])
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.3}}
+    biases = pipe.encode_region(
+        [state], ids, height=64, width=64, do_cfg=True
+    )
+    assert biases is not None and len(biases) == 4
+    assert biases[0].shape == (2, 64, 77)
+    base = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+    controlled = pipe.txt2img(ctx, GEN, seed=3, region_biases=biases,
+                              decode=False)
+    assert not np.allclose(np.asarray(base), np.asarray(controlled))
+
+
+def test_img2img(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    latents = pipe.encode_image(init_img, seed=0)
+    assert latents.shape == (1, 8, 8, 4)
+    out = pipe.img2img(ctx, latents, GEN, strength=0.5, seed=1)
+    assert out.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.parametrize("sampler", ["euler", "euler_ancestral", "dpmpp_2m",
+                                     "dpmpp_2m_sde", "lcm"])
+def test_txt2img_all_samplers_finite(pipe, sampler):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    gen = dataclasses.replace(GEN, sampler=sampler, num_inference_steps=3)
+    out = pipe.txt2img(ctx, gen, seed=0, decode=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_data_parallel_batch_matches_single(pipe):
+    """Same per-seed results regardless of mesh sharding (SURVEY §4 item e)."""
+    from diffusionspatialcontrol_tpu.parallel import mesh as pmesh
+
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual cpu devices, got {len(devs)}"
+    ctx, _ = pipe.encode_prompt(["a cat"] * 4, [""] * 4)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 4))
+    single = pipe.txt2img(ctx, GEN, seed=5, batch_size=4, latents=latents,
+                          decode=False)
+
+    m = pmesh.data_parallel_mesh(devs[:4])
+    lat_sharded = pmesh.shard_batch(m, latents)
+    # context is [u0..u3, c0..c3]; shard its halves consistently
+    out_sharded = pipe.txt2img(ctx, GEN, seed=5, batch_size=4,
+                               latents=lat_sharded, decode=False)
+    # fp32 reduction-order differences between the sharded and unsharded
+    # compiled layouts bound the achievable tolerance
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(out_sharded), atol=1e-3
+    )
