@@ -35,11 +35,18 @@ ATTN_IMPL = "xla"  # switched to "pallas" when the fused kernels land
 
 
 def timed_runs(fn, n=5):
+    """fn(seed) -> device array; p50 wall time per run including the
+    device->host transfer of the final image.
+
+    Two measurement pitfalls of the axon backend are avoided deliberately:
+    seeds vary per run (the relay caches value-identical executions), and the
+    sync is a real np.asarray host transfer (block_until_ready returns before
+    execution completes on this backend)."""
     ts = []
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        out = fn(1000 + i)
+        np.asarray(out)
         ts.append(time.perf_counter() - t0)
     return float(np.percentile(ts, 50))
 
@@ -72,15 +79,13 @@ def main():
     }
     biases = pipe.encode_region([state], ids, height=h, width=w, do_cfg=True)
 
-    # warmup/compile
-    jax.block_until_ready(pipe.txt2img(ctx, gen, seed=0))
-    jax.block_until_ready(
-        pipe.txt2img(ctx, gen, seed=0, region_biases=biases)
-    )
+    # warmup/compile (np.asarray: see timed_runs on why not block_until_ready)
+    np.asarray(pipe.txt2img(ctx, gen, seed=0))
+    np.asarray(pipe.txt2img(ctx, gen, seed=0, region_biases=biases))
 
-    vanilla = timed_runs(lambda: pipe.txt2img(ctx, gen, seed=1))
+    vanilla = timed_runs(lambda s: pipe.txt2img(ctx, gen, seed=s))
     controlled = timed_runs(
-        lambda: pipe.txt2img(ctx, gen, seed=1, region_biases=biases)
+        lambda s: pipe.txt2img(ctx, gen, seed=s, region_biases=biases)
     )
 
     overhead = (controlled - vanilla) / vanilla * 100.0

@@ -1,11 +1,12 @@
-"""txt2img / img2img generation pipeline: one jitted program per config.
+"""txt2img / img2img / inpaint generation pipeline: one jitted program each.
 
 Replaces the reference's two parallel pipeline stacks (k-diffusion:
 source/modules/model_k_diffusion.py; diffusers schedulers:
 source/modules/model_diffusers.py) with a single functional core: the CLIP
 encode, the full sampler loop (CFG pair batched on the batch axis, region
-biases resident on device), and the VAE decode each compile to one XLA
-program. Host work is tokenization and PIL I/O only.
+biases resident on device, ControlNet/T2I/IP-Adapter conditioning inside the
+loop), and the VAE decode each compile to one XLA program. Host work is
+tokenization and PIL I/O only.
 
 Math parity notes:
   * initial latents are scaled by (sigma_0^2 + 1)^0.5
@@ -15,11 +16,18 @@ Math parity notes:
   * the sigma-space denoiser wraps an epsilon or v prediction UNet exactly as
     CompVisDenoiser / CompVisVDenoiser do
     (reference: source/modules/external_k_diffusion.py:86-114, 142-182),
-    including the channel-slice fix for 9-channel inpaint UNets (:113).
+    including the channel-slice fix for 9-channel inpaint UNets (:113);
+  * 4-channel inpainting re-blends x = m*x + (1-m)*(z_init + sigma*noise)
+    every model call (model_k_diffusion.py:1599-1612 in sigma-space form);
+  * ControlNet runs per step on x*c_in with per-unit keep windows
+    (model_k_diffusion.py:1119-1154; keep schedule :355-424); T2I-Adapter
+    residuals apply while step < steps*conditioning_factor
+    (model_k_diffusion.py:1110-1117).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -28,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GenerationConfig, ModelConfig
-from ..models.clip import clip_apply
 from ..models.unet import RegionState, UNetCond, unet_apply
 from ..models.vae import vae_decode, vae_encode
 from ..samplers import brownian, schedules, solvers
@@ -52,6 +59,62 @@ def _sigma_to_t(sigma, log_sigma_table: jnp.ndarray):
     )
 
 
+def controlnet_keep_schedule(steps: int, starts: Sequence[float],
+                             ends: Sequence[float]) -> np.ndarray:
+    """(n_units, steps) keep mask: 1 inside [start, end) fraction of the run
+    (reference: model_k_diffusion.py preprocess_controlnet :355-424, same
+    formula as diffusers)."""
+    n = len(starts)
+    keeps = np.zeros((n, steps), np.float32)
+    for u, (s, e) in enumerate(zip(starts, ends)):
+        for i in range(steps):
+            keeps[u, i] = 1.0 - float(i / steps < s or (i + 1) / steps > e)
+    return keeps
+
+
+@dataclasses.dataclass
+class DenoiseExtras:
+    """Optional per-generation conditioning consumed inside the denoise fn.
+    All arrays are already CFG-doubled ([uncond..., cond...]) where needed."""
+
+    # ControlNet: parallel lists over units.
+    controlnet_params: Optional[List[Any]] = None
+    controlnet_images: Optional[List[jnp.ndarray]] = None  # (B_cfg, H, W, 3)
+    controlnet_scales: Optional[np.ndarray] = None  # (n_units, n_steps) static
+    controlnet_guess: bool = False
+    # T2I-Adapter: residuals precomputed once (B_cfg batch included).
+    t2i_residuals: Optional[Tuple[jnp.ndarray, ...]] = None
+    t2i_active: Optional[np.ndarray] = None  # (n_steps,) static 0/1
+    # IP-Adapter decoupled attention inputs.
+    ip_tokens: Optional[Tuple[jnp.ndarray, ...]] = None
+    ip_scales: Optional[Tuple[float, ...]] = None
+    ip_masks: Optional[Tuple[Optional[jnp.ndarray], ...]] = None
+    # 4-channel inpaint blend (sigma-space, see module docstring).
+    inpaint_mask: Optional[jnp.ndarray] = None  # (B, h, w, 1), 1 = regenerate
+    inpaint_image_latents: Optional[jnp.ndarray] = None  # (B, h, w, 4)
+    inpaint_noise: Optional[jnp.ndarray] = None  # (B, h, w, 4)
+    # 9-channel inpaint UNet concat [mask, masked_image_latents].
+    extra_channels: Optional[jnp.ndarray] = None  # (B_cfg, h, w, 5)
+
+
+jax.tree_util.register_dataclass(
+    DenoiseExtras,
+    data_fields=[
+        "controlnet_params",
+        "controlnet_images",
+        "t2i_residuals",
+        "ip_tokens",
+        "ip_masks",
+        "inpaint_mask",
+        "inpaint_image_latents",
+        "inpaint_noise",
+        "extra_channels",
+    ],
+    meta_fields=["controlnet_scales", "controlnet_guess", "t2i_active",
+                 "ip_scales"],
+)
+
+
 def make_denoise_fn(
     params: Dict[str, Any],
     model_cfg: ModelConfig,
@@ -62,43 +125,98 @@ def make_denoise_fn(
     guidance_rescale: float = 0.0,
     attn_impl: str = "xla",
     compute_dtype=jnp.bfloat16,
-    cond_extras: Optional[dict] = None,
-    extra_channels: Optional[jnp.ndarray] = None,
-    inpaint_blend: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    extras: Optional[DenoiseExtras] = None,
+    sigma_steps: Optional[np.ndarray] = None,  # static per-step sigmas
 ):
-    """Builds D(x; sigma) for the solvers.
-
-    ``extra_channels``: (B_cfg, h, w, 5) mask+masked-latents concat for the
-    9-channel inpaint UNet (reference: model_k_diffusion.py:1618-1620).
-    ``inpaint_blend``: (mask, init_latents) for per-step 4-channel latent
-    blending (reference: model_k_diffusion.py:1599-1612).
-    """
+    """Builds the sigma-space denoiser D(x; sigma) used by every solver."""
     do_cfg = guidance_scale > 1.0
-    cond_extras = cond_extras or {}
+    ex = extras or DenoiseExtras()
+    sig_steps = (
+        jnp.asarray(sigma_steps, jnp.float32)
+        if sigma_steps is not None
+        else None
+    )
+
+    def step_index(sigma):
+        # Nearest schedule entry: robust for the second-order solvers'
+        # intermediate sigmas (reference keys per-step state by distinct
+        # sigma strings, model_k_diffusion.py:1645-1651).
+        return jnp.argmin(jnp.abs(sig_steps - sigma))
 
     def denoise(x, sigma):
-        if inpaint_blend is not None:
-            mask, init_latents = inpaint_blend
-            noised_init = init_latents + jnp.sqrt(sigma**2 + 1.0) * (
-                inpaint_blend_noise(x)
-            )
-            x = x * mask + noised_init * (1 - mask)
+        if ex.inpaint_mask is not None:
+            m = ex.inpaint_mask
+            proper = ex.inpaint_image_latents + sigma * ex.inpaint_noise
+            x = m * x + (1.0 - m) * proper
 
         x_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
         t = _sigma_to_t(sigma, log_sigma_table)
         t_b = jnp.full((x_in.shape[0],), t, jnp.float32)
 
-        model_in = (x_in * c_in).astype(compute_dtype)
-        if extra_channels is not None:
+        scaled_in = (x_in * c_in).astype(compute_dtype)
+        model_in = scaled_in
+        if ex.extra_channels is not None:
             model_in = jnp.concatenate(
-                [model_in, extra_channels.astype(compute_dtype)], axis=-1
+                [model_in, ex.extra_channels.astype(compute_dtype)], axis=-1
             )
 
         region = None
         if region_biases is not None:
             region = RegionState(region_biases, sigma)
-        cond = UNetCond(context=context, region=region, **cond_extras)
+
+        cn_down = None
+        cn_mid = None
+        if ex.controlnet_params is not None:
+            from ..models.controlnet import controlnet_apply
+
+            idx = step_index(sigma)
+            scale_tab = jnp.asarray(ex.controlnet_scales, jnp.float32)
+            for u, (cn_p, cn_img) in enumerate(
+                zip(ex.controlnet_params, ex.controlnet_images)
+            ):
+                unit_scale = scale_tab[u][idx]
+                if ex.controlnet_guess and do_cfg:
+                    half = x.shape[0]
+                    d_res, m_res = controlnet_apply(
+                        cn_p, model_cfg.unet, scaled_in[half:],
+                        t_b[half:], context[half:],
+                        cn_img[half:] if cn_img.shape[0] == x_in.shape[0]
+                        else cn_img,
+                        conditioning_scale=unit_scale, guess_mode=True,
+                    )
+                    d_res = tuple(
+                        jnp.concatenate([jnp.zeros_like(r), r]) for r in d_res
+                    )
+                    m_res = jnp.concatenate([jnp.zeros_like(m_res), m_res])
+                else:
+                    d_res, m_res = controlnet_apply(
+                        cn_p, model_cfg.unet, scaled_in, t_b, context,
+                        cn_img, conditioning_scale=unit_scale,
+                    )
+                if cn_down is None:
+                    cn_down, cn_mid = list(d_res), m_res
+                else:
+                    cn_down = [a + b for a, b in zip(cn_down, d_res)]
+                    cn_mid = cn_mid + m_res
+            cn_down = tuple(cn_down)
+
+        t2i_res = None
+        if ex.t2i_residuals is not None:
+            idx = step_index(sigma)
+            active = jnp.asarray(ex.t2i_active, jnp.float32)[idx]
+            t2i_res = tuple(r * active for r in ex.t2i_residuals)
+
+        cond = UNetCond(
+            context=context,
+            region=region,
+            controlnet_down=cn_down,
+            controlnet_mid=cn_mid,
+            t2i_residuals=t2i_res,
+            ip_tokens=ex.ip_tokens,
+            ip_scales=ex.ip_scales,
+            ip_masks=ex.ip_masks,
+        )
 
         out = unet_apply(
             params["unet"], model_cfg.unet, model_in, t_b, cond,
@@ -121,10 +239,6 @@ def make_denoise_fn(
         return denoised
 
     return denoise
-
-
-def inpaint_blend_noise(x):  # placeholder hook, replaced in inpaint milestone
-    return jnp.zeros_like(x)
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +266,7 @@ def _sample_core(
     context,
     region_biases,
     noise,
+    extras,
     *,
     model_cfg: ModelConfig,
     solver_name: str,
@@ -170,7 +285,8 @@ def _sample_core(
     denoise = make_denoise_fn(
         params, model_cfg, context, region_biases, log_table,
         guidance_scale, guidance_rescale, attn_impl,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=sigmas[:-1],
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     x = solver_fn(denoise, latents, sigmas, noise=noise, **dict(solver_opts))
@@ -185,13 +301,12 @@ def _sample_core(
 
 
 class StableDiffusionTPU:
-    """txt2img / img2img with optional region control.
+    """txt2img / img2img / inpaint with optional region control, ControlNet,
+    T2I-Adapter, IP-Adapter, and hires fix.
 
-    Public surface mirrors the reference's ``StableDiffusionPipeline.txt2img``
-    / ``img2img`` (model_k_diffusion.py:943, 543) with prompts, negative
-    prompts, region state, sampler/schedule selection, CFG, clip-skip, seeds,
-    and hires-fix upscaling.
-    """
+    Public surface mirrors the reference's
+    ``StableDiffusionPipeline.txt2img / img2img / inpaiting``
+    (model_k_diffusion.py:943, 543, 1365)."""
 
     def __init__(self, model_cfg: ModelConfig, params: Dict[str, Any],
                  tokenizer=None, attn_impl: str = "xla"):
@@ -209,16 +324,16 @@ class StableDiffusionTPU:
         negative_prompts: Sequence[str],
         clip_skip: int = 2,
         mode: str = "short",
+        num_images_per_prompt: int = 1,
     ) -> Tuple[jnp.ndarray, List[List[int]]]:
         """Returns (context (2B, S, D) [uncond..., cond...], cond token ids
-        per prompt for region matching). Delegates to text.encoder for the
-        three encoding modes."""
+        per prompt for region matching)."""
         from ..text.encoder import encode_prompts
 
         return encode_prompts(
             self.params["clip"], self.model_cfg.clip, self.tokenizer,
             list(prompts), list(negative_prompts), clip_skip=clip_skip,
-            mode=mode,
+            mode=mode, num_images_per_prompt=num_images_per_prompt,
         )
 
     # -- region state -------------------------------------------------------
@@ -245,6 +360,62 @@ class StableDiffusionTPU:
             num_images_per_prompt=num_images_per_prompt, do_cfg=do_cfg,
         )
 
+    # -- conditioning builders ---------------------------------------------
+
+    def build_controlnet_extras(
+        self,
+        gen: GenerationConfig,
+        controlnet_params: Sequence,
+        cond_images: Sequence[jnp.ndarray],  # each (B, H, W, 3) in [0, 1]
+        scales: Sequence[float],
+        starts: Optional[Sequence[float]] = None,
+        ends: Optional[Sequence[float]] = None,
+        guess_mode: bool = False,
+        do_cfg: bool = True,
+    ) -> DenoiseExtras:
+        n = len(controlnet_params)
+        starts = list(starts or [0.0] * n)
+        ends = list(ends or [1.0] * n)
+        keeps = controlnet_keep_schedule(gen.num_inference_steps, starts,
+                                         ends)
+        scale_tab = keeps * np.asarray(scales, np.float32)[:, None]
+        imgs = []
+        for img in cond_images:
+            img = jnp.asarray(img, jnp.float32)
+            if do_cfg and not guess_mode:
+                img = jnp.concatenate([img, img], axis=0)
+            imgs.append(img)
+        return DenoiseExtras(
+            controlnet_params=list(controlnet_params),
+            controlnet_images=imgs,
+            controlnet_scales=tuple(map(tuple, scale_tab)),
+            controlnet_guess=guess_mode,
+        )
+
+    def build_t2i_extras(
+        self,
+        gen: GenerationConfig,
+        adapter_params: Sequence,
+        cond_images: Sequence[jnp.ndarray],
+        scales: Sequence[float],
+        conditioning_factor: float = 1.0,
+        do_cfg: bool = True,
+    ) -> DenoiseExtras:
+        from ..config import T2IAdapterConfig
+        from ..models.t2i_adapter import multi_adapter_apply
+
+        feats = multi_adapter_apply(
+            adapter_params, T2IAdapterConfig(),
+            [jnp.asarray(i, jnp.float32) for i in cond_images], scales
+        )
+        if do_cfg:
+            feats = tuple(jnp.concatenate([f, f], axis=0) for f in feats)
+        steps = gen.num_inference_steps
+        active = (
+            np.arange(steps) < int(steps * conditioning_factor)
+        ).astype(np.float32)
+        return DenoiseExtras(t2i_residuals=feats, t2i_active=tuple(active))
+
     # -- sampling -----------------------------------------------------------
 
     def _schedule(self, gen: GenerationConfig):
@@ -257,8 +428,7 @@ class StableDiffusionTPU:
         )
         return sigmas, defaults
 
-    def _solver_noise(self, rng, sigmas, gen: GenerationConfig, shape,
-                      solver_name: str):
+    def _solver_noise(self, rng, sigmas, shape, solver_name: str):
         _, draws, _ = solvers.SOLVERS[solver_name]
         if solver_name == "restart":
             n = solvers.restart_plan_len(sigmas)
@@ -266,6 +436,35 @@ class StableDiffusionTPU:
         if draws == 0:
             return None
         return brownian.step_noise(rng, len(sigmas) - 1, draws, shape)
+
+    def _solver_opts(self, gen: GenerationConfig, defaults: dict):
+        opts = {
+            k: v
+            for k, v in defaults.items()
+            if k not in ("discard_next_to_last_sigma", "brownian")
+        }
+        if gen.sampler in ("euler_ancestral", "dpm_2_ancestral",
+                           "dpmpp_2s_ancestral", "dpmpp_sde", "dpmpp_2m_sde",
+                           "dpmpp_2m_sde_heun", "dpmpp_3m_sde"):
+            opts["eta"] = gen.eta
+        return opts
+
+    def _run(self, latents, context, region_biases, sigmas, gen, noise,
+             extras, decode):
+        return _sample_core(
+            self.params, latents, context, region_biases, noise,
+            extras,
+            model_cfg=self.model_cfg,
+            solver_name=gen.sampler,
+            sigmas_key=tuple(float(s) for s in sigmas),
+            guidance_scale=gen.guidance_scale,
+            guidance_rescale=gen.guidance_rescale,
+            attn_impl=self.attn_impl,
+            solver_opts=tuple(sorted(self._solver_opts(
+                gen, self._schedule(gen)[1]).items())),
+            decode=decode,
+            compute_dtype=gen.dtype,
+        )
 
     def txt2img(
         self,
@@ -276,9 +475,16 @@ class StableDiffusionTPU:
         batch_size: int = 1,
         decode: bool = True,
         latents: Optional[jnp.ndarray] = None,
+        extras: Optional[DenoiseExtras] = None,
+        hires: Optional[dict] = None,
     ):
         """Core txt2img on pre-encoded context. Returns decoded images
-        (B, H, W, 3) fp32 in [-1, 1] (or raw latents with decode=False)."""
+        (B, H, W, 3) fp32 in [-1, 1] (or raw latents with decode=False).
+
+        ``hires``: optional dict(scale=2.0, strength=0.6, steps=None,
+        mode="bilinear", antialias=False) — latent upscale + recursive
+        img2img (reference: model_k_diffusion.py:1179-1226; modes
+        source/app.py:2117-2127)."""
         sigmas, defaults = self._schedule(gen)
         key = jax.random.PRNGKey(seed)
         k_lat, k_noise = jax.random.split(key)
@@ -287,33 +493,39 @@ class StableDiffusionTPU:
             latents = jax.random.normal(k_lat, shape, jnp.float32)
         latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
 
-        noise = self._solver_noise(k_noise, sigmas, gen, shape, gen.sampler)
-        opts = {
-            k: v
-            for k, v in defaults.items()
-            if k not in ("discard_next_to_last_sigma", "brownian")
-        }
-        if gen.sampler in ("euler_ancestral", "dpm_2_ancestral",
-                           "dpmpp_2s_ancestral", "dpmpp_sde", "dpmpp_2m_sde",
-                           "dpmpp_2m_sde_heun", "dpmpp_3m_sde"):
-            opts["eta"] = gen.eta
+        noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
+        out = self._run(latents, context, region_biases, sigmas, gen, noise,
+                        extras, decode=decode and hires is None)
+        if hires is None:
+            return out
 
-        return _sample_core(
-            self.params,
-            latents,
-            context,
-            region_biases,
-            noise,
-            model_cfg=self.model_cfg,
-            solver_name=gen.sampler,
-            sigmas_key=tuple(float(s) for s in sigmas),
-            guidance_scale=gen.guidance_scale,
-            guidance_rescale=gen.guidance_rescale,
-            attn_impl=self.attn_impl,
-            solver_opts=tuple(sorted(opts.items())),
-            decode=decode,
-            compute_dtype=gen.dtype,
+        # Hires fix: resize latents, recursive img2img at the target size.
+        from ..ops.resize import resize_latents
+
+        scale = float(hires.get("scale", 2.0))
+        new_h = int(gen.height * scale) // 8
+        new_w = int(gen.width * scale) // 8
+        up = resize_latents(out, new_h, new_w,
+                            mode=hires.get("mode", "bilinear"),
+                            antialias=bool(hires.get("antialias", False)))
+        gen_hr = dataclasses.replace(
+            gen, height=new_h * 8, width=new_w * 8,
+            num_inference_steps=hires.get("steps")
+            or gen.num_inference_steps,
         )
+        return self.img2img(
+            context, up, gen_hr,
+            strength=float(hires.get("strength", 0.6)),
+            seed=seed + 1, region_biases=None if region_biases is None
+            else self._rescale_region(region_biases, gen_hr),
+            decode=decode, extras=extras,
+        )
+
+    def _rescale_region(self, region_biases, gen_hr):
+        # Region biases are resolution-keyed; for hires the caller should
+        # re-encode at the new resolution. Fallback: drop them (the
+        # reference also re-encodes inside img2img from raw state).
+        return None
 
     def img2img(
         self,
@@ -324,6 +536,7 @@ class StableDiffusionTPU:
         seed: int = 0,
         region_biases=None,
         decode: bool = True,
+        extras: Optional[DenoiseExtras] = None,
     ):
         """img2img: truncate the schedule by strength and noise the init
         latents (reference: model_k_diffusion.py:628-655)."""
@@ -341,29 +554,87 @@ class StableDiffusionTPU:
             np.sqrt(sigma_sched[0] ** 2 + 1.0)
         )
 
-        noise = self._solver_noise(k_noise, sigma_sched, gen,
-                                   init_latents.shape, gen.sampler)
-        opts = {
-            k: v
-            for k, v in defaults.items()
-            if k not in ("discard_next_to_last_sigma", "brownian")
-        }
-        return _sample_core(
-            self.params,
-            latents,
-            context,
-            region_biases,
-            noise,
-            model_cfg=self.model_cfg,
-            solver_name=gen.sampler,
-            sigmas_key=tuple(float(s) for s in sigma_sched),
-            guidance_scale=gen.guidance_scale,
-            guidance_rescale=gen.guidance_rescale,
-            attn_impl=self.attn_impl,
-            solver_opts=tuple(sorted(opts.items())),
-            decode=decode,
-            compute_dtype=gen.dtype,
+        noise = self._solver_noise(k_noise, sigma_sched, init_latents.shape,
+                                   gen.sampler)
+        return self._run(latents, context, region_biases, sigma_sched, gen,
+                         noise, extras, decode)
+
+    def inpaint(
+        self,
+        context: jnp.ndarray,
+        init_image: jnp.ndarray,  # (B, H, W, 3) in [-1, 1]
+        mask: jnp.ndarray,  # (B, H, W) 1 = regenerate
+        gen: GenerationConfig,
+        strength: float = 1.0,
+        seed: int = 0,
+        region_biases=None,
+        decode: bool = True,
+        extras: Optional[DenoiseExtras] = None,
+    ):
+        """Inpainting (reference: model_k_diffusion.py:1365-1660).
+
+        4-channel UNets blend the init latents back each step outside the
+        mask; 9-channel inpaint UNets additionally receive
+        [mask, masked_image_latents] channels."""
+        key = jax.random.PRNGKey(seed)
+        k_enc, k_lat, k_noise, k_blend = jax.random.split(key, 4)
+        b, h, w, _ = init_image.shape
+        latent_shape = (b, h // 8, w // 8, 4)
+
+        image_latents = vae_encode(
+            self.params["vae"], self.model_cfg.vae, init_image, rng=k_enc
         )
+        mask_l = jax.image.resize(
+            mask.astype(jnp.float32), (b, h // 8, w // 8), "nearest"
+        )[..., None]
+
+        sigmas, defaults = self._schedule(gen)
+        init_timestep = min(
+            int(gen.num_inference_steps * strength), gen.num_inference_steps
+        )
+        t_start = max(gen.num_inference_steps - init_timestep, 0)
+        sigma_sched = sigmas[t_start:]
+
+        nine_channel = self.model_cfg.unet.in_channels == 9
+        extras = extras or DenoiseExtras()
+        do_cfg = gen.guidance_scale > 1.0
+        if nine_channel:
+            masked_image = init_image * (1.0 - np.asarray(
+                jax.image.resize(mask.astype(jnp.float32), (b, h, w),
+                                 "nearest")
+            ))[..., None]
+            masked_latents = vae_encode(
+                self.params["vae"], self.model_cfg.vae,
+                jnp.asarray(masked_image), rng=k_enc,
+            )
+            extra_ch = jnp.concatenate([mask_l, masked_latents], axis=-1)
+            if do_cfg:
+                extra_ch = jnp.concatenate([extra_ch, extra_ch], axis=0)
+            extras = dataclasses.replace(extras, extra_channels=extra_ch)
+        else:
+            blend_noise = jax.random.normal(k_blend, latent_shape,
+                                            jnp.float32)
+            extras = dataclasses.replace(
+                extras,
+                inpaint_mask=mask_l,
+                inpaint_image_latents=image_latents,
+                inpaint_noise=blend_noise,
+            )
+
+        if strength >= 1.0 or nine_channel:
+            latents = jax.random.normal(k_lat, latent_shape, jnp.float32)
+            latents = latents * float(np.sqrt(sigma_sched[0] ** 2 + 1.0))
+        else:
+            noise0 = jax.random.normal(k_lat, latent_shape, jnp.float32)
+            latents = image_latents + noise0 * float(
+                np.sqrt(sigma_sched[0] ** 2 + 1.0)
+            )
+
+        noise = self._solver_noise(k_noise, sigma_sched, latent_shape,
+                                   gen.sampler)
+        out = self._run(latents, context, region_biases, sigma_sched, gen,
+                        noise, extras, decode)
+        return out
 
     # -- codecs -------------------------------------------------------------
 

@@ -1,0 +1,160 @@
+"""ControlNet / T2I-Adapter / inpaint / hires-fix integration tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionspatialcontrol_tpu.config import T2IAdapterConfig
+from diffusionspatialcontrol_tpu.models import factory
+from diffusionspatialcontrol_tpu.models.controlnet import (
+    controlnet_apply,
+    controlnet_init,
+)
+from diffusionspatialcontrol_tpu.models.t2i_adapter import (
+    t2i_adapter_apply,
+    t2i_adapter_init,
+)
+from diffusionspatialcontrol_tpu.pipeline.pipeline import StableDiffusionTPU
+from diffusionspatialcontrol_tpu.text.tokenizer import HashTokenizer
+from tests.test_pipeline import GEN, TINY
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), TINY, jnp.float32
+    )
+    return StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+
+
+@pytest.fixture(scope="module")
+def cn_params():
+    return controlnet_init(jax.random.PRNGKey(1), TINY.unet,
+                           dtype=jnp.float32)
+
+
+def test_controlnet_output_shapes(cn_params):
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.array([500.0, 500.0])
+    ctx = jnp.zeros((2, 77, 64))
+    img = jnp.zeros((2, 64, 64, 3))
+    down, mid = controlnet_apply(cn_params, TINY.unet, x, t, ctx, img)
+    assert len(down) == 12
+    assert down[0].shape == (2, 8, 8, 32)
+    assert mid.shape == (2, 1, 1, 128)
+
+
+def test_fresh_controlnet_is_noop(cn_params):
+    """Zero-initialized heads -> all residuals exactly zero (diffusers
+    init parity)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    t = jnp.array([100.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 64))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    down, mid = controlnet_apply(cn_params, TINY.unet, x, t, ctx, img)
+    for r in down:
+        assert float(jnp.abs(r).max()) == 0.0
+    assert float(jnp.abs(mid).max()) == 0.0
+
+
+def test_t2i_adapter_shapes():
+    cfg = T2IAdapterConfig(channels=(32, 64, 128, 128))
+    params = t2i_adapter_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3))
+    feats = t2i_adapter_apply(params, cfg, img)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128), (1, 1, 1, 128)
+    ]
+
+
+def test_txt2img_with_controlnet(pipe, cn_params):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
+    )
+    extras = pipe.build_controlnet_extras(
+        GEN, [cn_params], [img], scales=[1.0]
+    )
+    out = pipe.txt2img(ctx, GEN, seed=0, extras=extras, decode=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # zero-init controlnet -> identical to no controlnet
+    base = pipe.txt2img(ctx, GEN, seed=0, decode=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+def test_controlnet_keep_window():
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        controlnet_keep_schedule,
+    )
+
+    keeps = controlnet_keep_schedule(10, [0.0, 0.3], [1.0, 0.7])
+    np.testing.assert_array_equal(keeps[0], np.ones(10))
+    # unit 2 active only for steps with i/10 >= 0.3 and (i+1)/10 <= 0.7
+    np.testing.assert_array_equal(
+        keeps[1], [0, 0, 0, 1, 1, 1, 1, 0, 0, 0]
+    )
+
+
+def test_txt2img_with_t2i_adapter(pipe):
+    cfg = T2IAdapterConfig(channels=(32, 64, 128, 128))
+    ad = t2i_adapter_init(jax.random.PRNGKey(3), cfg, jnp.float32)
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    extras = pipe.build_t2i_extras(GEN, [ad], [img], scales=[0.8],
+                                   conditioning_factor=0.5)
+    out = pipe.txt2img(ctx, GEN, seed=0, extras=extras, decode=False)
+    base = pipe.txt2img(ctx, GEN, seed=0, decode=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_inpaint_shapes_finite(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jnp.asarray(
+        np.random.RandomState(1).uniform(-0.5, 0.5, (1, 64, 64, 3)),
+        jnp.float32,
+    )
+    mask = np.zeros((1, 64, 64), np.float32)
+    mask[:, :32, :] = 1.0  # regenerate top half
+    out = pipe.inpaint(ctx, init, jnp.asarray(mask), GEN, seed=2,
+                       decode=False)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_inpaint_runs_and_blends(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = np.zeros((1, 64, 64), np.float32)
+    mask[:, :32, :] = 1.0
+    a = pipe.inpaint(ctx, init, jnp.asarray(mask), GEN, seed=2, decode=False)
+    full_mask = np.ones((1, 64, 64), np.float32)
+    b = pipe.inpaint(ctx, init, jnp.asarray(full_mask), GEN, seed=2,
+                     decode=False)
+    # different masks must give different outputs
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_hires_fix(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    out = pipe.txt2img(
+        ctx, GEN, seed=0,
+        hires={"scale": 2.0, "strength": 0.5, "mode": "bilinear"},
+    )
+    assert out.shape == (1, 128, 128, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_upscale_mode_parsing():
+    from diffusionspatialcontrol_tpu.ops.resize import parse_upscale_mode
+
+    assert parse_upscale_mode("Latent (bicubic antialiased)") == (
+        "bicubic", True
+    )
+    assert parse_upscale_mode("Latent (nearest-exact)") == (
+        "nearest-exact", False
+    )
