@@ -54,14 +54,10 @@ def _attn_init(key, c, dtype):
 def _attn_apply(p, x, groups):
     b, hh, ww, c = x.shape
     h = group_norm(p["group_norm"], x, groups, 1e-6).reshape(b, hh * ww, c)
-    q = linear(p["to_q"], h)
-    k = linear(p["to_k"], h)
-    v = linear(p["to_v"], h)
-    logits = jnp.einsum("bld,bsd->bls", q, k,
-                        preferred_element_type=jnp.float32) * (c**-0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bls,bsd->bld", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    q = linear(p["to_q"], h)[:, :, None, :]  # single head, BTNH layout
+    k = linear(p["to_k"], h)[:, :, None, :]
+    v = linear(p["to_v"], h)[:, :, None, :]
+    out = jax.nn.dot_product_attention(q, k, v)[:, :, 0, :]
     out = linear(p["to_out"], out).reshape(b, hh, ww, c)
     return x + out
 

@@ -258,6 +258,7 @@ def make_denoise_fn(
         "solver_opts",
         "decode",
         "compute_dtype",
+        "return_history",
     ),
 )
 def _sample_core(
@@ -277,6 +278,7 @@ def _sample_core(
     solver_opts: Tuple[Tuple[str, Any], ...],
     decode: bool,
     compute_dtype=jnp.bfloat16,
+    return_history: bool = False,
 ):
     sigmas = np.asarray(sigmas_key, np.float64)
     table = schedules.ddpm_sigma_table(model_cfg)
@@ -289,10 +291,12 @@ def _sample_core(
         sigma_steps=sigmas[:-1],
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
-    x = solver_fn(denoise, latents, sigmas, noise=noise, **dict(solver_opts))
+    res = solver_fn(denoise, latents, sigmas, noise=noise,
+                    return_history=return_history, **dict(solver_opts))
+    x, hist = res if return_history else (res, None)
     if decode:
-        return vae_decode(params["vae"], model_cfg.vae, x)
-    return x
+        x = vae_decode(params["vae"], model_cfg.vae, x)
+    return (x, hist) if return_history else x
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +454,7 @@ class StableDiffusionTPU:
         return opts
 
     def _run(self, latents, context, region_biases, sigmas, gen, noise,
-             extras, decode):
+             extras, decode, return_history=False):
         return _sample_core(
             self.params, latents, context, region_biases, noise,
             extras,
@@ -464,6 +468,7 @@ class StableDiffusionTPU:
                 gen, self._schedule(gen)[1]).items())),
             decode=decode,
             compute_dtype=gen.dtype,
+            return_history=return_history,
         )
 
     def txt2img(
@@ -477,6 +482,7 @@ class StableDiffusionTPU:
         latents: Optional[jnp.ndarray] = None,
         extras: Optional[DenoiseExtras] = None,
         hires: Optional[dict] = None,
+        return_history: bool = False,
     ):
         """Core txt2img on pre-encoded context. Returns decoded images
         (B, H, W, 3) fp32 in [-1, 1] (or raw latents with decode=False).
@@ -495,7 +501,8 @@ class StableDiffusionTPU:
 
         noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
         out = self._run(latents, context, region_biases, sigmas, gen, noise,
-                        extras, decode=decode and hires is None)
+                        extras, decode=decode and hires is None,
+                        return_history=return_history and hires is None)
         if hires is None:
             return out
 

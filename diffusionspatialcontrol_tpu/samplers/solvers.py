@@ -74,7 +74,8 @@ def _default_noise(noise, n_steps, x, per_step=1):
 # ---------------------------------------------------------------------------
 
 
-def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                  **_):
     xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
 
@@ -82,13 +83,15 @@ def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         sigma, sigma_next = s
         denoised = denoise(x, sigma)
         d = to_d(x, sigma, denoised)
-        return x + d * (sigma_next - sigma), None
+        x = x + d * (sigma_next - sigma)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 def sample_euler_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False,
                            noise=None, eta=1.0, s_noise=1.0, **_):
     """noise: (n_steps, *x.shape)."""
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
@@ -100,13 +103,15 @@ def sample_euler_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         denoised = denoise(x, sigma)
         d = to_d(x, sigma, denoised)
         x = x + d * (sigma_down - sigma)
-        return x + z * (s_noise * sigma_up), None
+        x = x + z * (s_noise * sigma_up)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
-def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                s_noise=1.0, **_):
     """Reference: samplers_extra_k_diffusion.py:108-120."""
     nz = _default_noise(noise, len(sigmas) - 1, x)
@@ -116,13 +121,14 @@ def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         sigma, sigma_next, z = s
         denoised = denoise(x, sigma)
         x = denoised + jnp.where(sigma_next > 0, sigma_next, 0.0) * z
-        return x, None
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
-def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                 s_noise=1.0, **_):
     """DDPM ancestral stepping in the reference's sqrt(1+sigma^2)-rescaled
     space (reference: samplers_extra_k_diffusion.py:76-104)."""
@@ -145,10 +151,10 @@ def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         )
         mu = mu + jnp.where(sigma_next > 0, add_noise, 0.0) * z
         x = mu * jnp.where(sigma_next > 0, jnp.sqrt(1.0 + sigma_next**2), 1.0)
-        return x, None
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +162,8 @@ def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
 # ---------------------------------------------------------------------------
 
 
-def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None, **_):
+def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None, **_):
     xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
 
     def body(x, s):
@@ -170,13 +177,15 @@ def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None, **_):
         denoised_2 = denoise(x_euler, sigma_next_safe)
         d_2 = to_d(x_euler, sigma_next_safe, denoised_2)
         x_heun = x + (d + d_2) / 2 * dt
-        return jnp.where(sigma_next == 0, x_euler, x_heun), None
+        x = jnp.where(sigma_next == 0, x_euler, x_heun)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
-def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                    **_):
     """Heun++ third-order weighted sampler
     (reference: samplers_extra_k_diffusion.py:123-176)."""
@@ -221,13 +230,14 @@ def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         x_pp = x + (d * (1 - w2 - w3) + d_2 * w2 + d_3 * w3) * dt
 
         x = jnp.where(br == 0, x_euler, jnp.where(br == 1, x_heun, x_pp))
-        return x, None
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
-def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                  **_):
     sig, sig_next = sigmas[:-1], sigmas[1:]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -247,13 +257,15 @@ def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         denoised_2 = denoise(x_2, s_mid)
         d_2 = to_d(x_2, s_mid, denoised_2)
         x_dpm = x + d_2 * (sigma_next - sigma)
-        return jnp.where(sigma_next == 0, x_euler, x_dpm), None
+        x = jnp.where(sigma_next == 0, x_euler, x_dpm)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 def sample_dpm_2_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False,
                            noise=None, eta=1.0, s_noise=1.0, **_):
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
     sig = sigmas[:-1]
@@ -276,10 +288,11 @@ def sample_dpm_2_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         d_2 = to_d(x_2, s_mid, denoised_2)
         x_dpm = x + d_2 * (sigma_down - sigma)
         x = jnp.where(sigma_down == 0, x_euler, x_dpm)
-        return x + z * (s_noise * sigma_up), None
+        x = x + z * (s_noise * sigma_up)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +321,8 @@ def _lms_coeffs(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
     return coeffs
 
 
-def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                order: int = 4, **_):
     n = len(sigmas) - 1
     coeffs = _lms_coeffs(sigmas, order)
@@ -323,10 +337,11 @@ def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         # Ring: newest at index 0.
         d_hist = jnp.concatenate([d[None], d_hist[:-1]], axis=0)
         update = jnp.einsum("o,o...->...", cs, d_hist)
-        return (x + update, d_hist), None
+        x = x + update
+        return (x, d_hist), x
 
-    (x, _), _ = jax.lax.scan(body, (x, d_hist), xs)
-    return x
+    (x, _), hist = jax.lax.scan(body, (x, d_hist), xs)
+    return (x, hist) if return_history else x
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +350,7 @@ def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
 
 
 def sample_dpmpp_2s_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False,
                               noise=None, eta=1.0, s_noise=1.0, **_):
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
     sig = sigmas[:-1]
@@ -360,13 +376,15 @@ def sample_dpmpp_2s_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         denoised_2 = denoise(x_2, jnp.maximum(s_mid, 1e-10))
         x_dpm = (sigma_down / sigma) * x - jnp.expm1(-h) * denoised_2
         x = jnp.where(sigma_down == 0, x_euler, x_dpm)
-        return x + z * (s_noise * sigma_up), None
+        x = x + z * (s_noise * sigma_up)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
-def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                     **_):
     """DPM-Solver++(2M) — the reference's headline sampler
     (README.md:69 'DPM++ 2M Karras')."""
@@ -399,13 +417,14 @@ def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
         d_use = jnp.where(plain, denoised, denoised_d)
         x = ratio * x - em1 * d_use
-        return (x, denoised), None
+        return (x, denoised), x
 
-    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
-    return x
+    (x, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
+    return (x, hist) if return_history else x
 
 
-def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                      eta=1.0, s_noise=1.0, r=0.5, **_):
     """DPM++ SDE. noise: (n_steps, 2, *x.shape) — two draws per step
     (k-diffusion uses a Brownian tree; see samplers/brownian.py)."""
@@ -454,13 +473,15 @@ def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         denoised_d = (1 - fac) * denoised + fac * denoised_2
         x_sde = ratio2 * x - em2 * denoised_d
         x_sde = x_sde + z2 * (s_noise * su2)
-        return jnp.where(is_final, x_euler, x_sde), None
+        x = jnp.where(is_final, x_euler, x_sde)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 def sample_dpmpp_2m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False,
                         noise=None, eta=1.0, s_noise=1.0,
                         solver_type="midpoint", **_):
     if solver_type not in ("midpoint", "heun"):
@@ -502,13 +523,14 @@ def sample_dpmpp_2m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = decay * x + em * denoised
         x = x + corr * (denoised - old_denoised)
         x = x + z * (s_noise * nstd)
-        return (x, denoised), None
+        return (x, denoised), x
 
-    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
-    return x
+    (x, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
+    return (x, hist) if return_history else x
 
 
 def sample_dpmpp_3m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False,
                         noise=None, eta=1.0, s_noise=1.0, **_):
     n = len(sigmas) - 1
     sig, sig_next = sigmas[:-1], sigmas[1:]
@@ -558,11 +580,11 @@ def sample_dpmpp_3m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         upd = jnp.where(order >= 2, upd3, jnp.where(order >= 1, upd2, 0.0))
         x = x + upd
         x = x + z * (s_noise * nstd)
-        return (x, denoised, d1m), None
+        return (x, denoised, d1m), x
 
-    (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x),
-                                       jnp.zeros_like(x)), xs)
-    return x
+    (x, _, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x),
+                                          jnp.zeros_like(x)), xs)
+    return (x, hist) if return_history else x
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +629,8 @@ def _restart_plan(sigmas: np.ndarray, restart_list=None):
     return step_list
 
 
-def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
+def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None,
                    s_noise=1.0, restart_list=None, **_):
     """noise: (len(step_list), *x.shape); use restart_plan_len to size it."""
     step_list = _restart_plan(sigmas, restart_list)
@@ -631,10 +654,11 @@ def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *, noise=None,
         denoised_2 = denoise(x_euler, ns)
         d_2 = to_d(x_euler, ns, denoised_2)
         x_heun = x + (d + d_2) / 2 * dt
-        return jnp.where(new_sigma == 0, x_euler, x_heun), None
+        x = jnp.where(new_sigma == 0, x_euler, x_heun)
+        return x, x
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    x, hist = jax.lax.scan(body, x, xs)
+    return (x, hist) if return_history else x
 
 
 def restart_plan_len(sigmas: np.ndarray, restart_list=None) -> int:
