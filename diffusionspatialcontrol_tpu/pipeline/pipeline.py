@@ -420,6 +420,49 @@ class StableDiffusionTPU:
         ).astype(np.float32)
         return DenoiseExtras(t2i_residuals=feats, t2i_active=tuple(active))
 
+    def build_ip_extras(
+        self,
+        adapters: Sequence,  # List[models.ip_adapter.LoadedIPAdapter]
+        image_embeds: Sequence[jnp.ndarray],  # per adapter, (B, D) or (B,P,D)
+        scales: Sequence[float],
+        masks: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+        uncond_image_embeds: Optional[Sequence[jnp.ndarray]] = None,
+        do_cfg: bool = True,
+        base: Optional[DenoiseExtras] = None,
+    ) -> DenoiseExtras:
+        """Project image embeds to IP tokens, CFG-doubled
+        [uncond_tokens, cond_tokens] (reference:
+        prepare_ip_adapter_image_embeds, model_k_diffusion.py:173-222).
+        ``masks``: optional per-adapter (B, H, W) spatial gates
+        (reference: attention_modify.py:676-683)."""
+        ip_tokens = []
+        for i, (ad, emb) in enumerate(zip(adapters, image_embeds)):
+            cond_tok = ad.project(jnp.asarray(emb))
+            if do_cfg:
+                u_emb = (
+                    jnp.asarray(uncond_image_embeds[i])
+                    if uncond_image_embeds is not None
+                    else jnp.zeros_like(jnp.asarray(emb))
+                )
+                uncond_tok = ad.project(u_emb)
+                cond_tok = jnp.concatenate([uncond_tok, cond_tok], axis=0)
+            ip_tokens.append(cond_tok)
+        mask_tuple = None
+        if masks is not None:
+            mask_tuple = tuple(
+                None if m is None else jnp.concatenate(
+                    [jnp.asarray(m)] * (2 if do_cfg else 1), axis=0
+                )
+                for m in masks
+            )
+        ex = base or DenoiseExtras()
+        return dataclasses.replace(
+            ex,
+            ip_tokens=tuple(ip_tokens),
+            ip_scales=tuple(float(s) for s in scales),
+            ip_masks=mask_tuple,
+        )
+
     # -- sampling -----------------------------------------------------------
 
     def _schedule(self, gen: GenerationConfig):
