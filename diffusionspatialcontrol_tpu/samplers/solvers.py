@@ -695,3 +695,155 @@ SOLVERS = {
     ),
     "restart": (sample_restart, 1, {}),
 }
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver fast / adaptive (k-diffusion DPMSolver; used img-to-img in the
+# reference registry, source/app.py:183-184 — sigma range semantics per
+# get_sampler_extra_args_i2i, model_k_diffusion.py:916-941)
+# ---------------------------------------------------------------------------
+
+
+def _dpm_eps(denoise, x, t):
+    sigma = jnp.exp(-t)
+    denoised = denoise(x, sigma)
+    return (x - denoised) / sigma
+
+
+def _dpm_1_step(x, t, t_next, eps):
+    h = t_next - t
+    return x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+
+
+def _dpm_2_step(denoise, x, t, t_next, eps, r1=0.5):
+    h = t_next - t
+    s1 = t + r1 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _dpm_eps(denoise, u1, s1)
+    x_2 = (
+        x
+        - jnp.exp(-t_next) * jnp.expm1(h) * eps
+        - jnp.exp(-t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+    )
+    return x_2
+
+
+def _dpm_3_step(denoise, x, t, t_next, eps, r1=1.0 / 3, r2=2.0 / 3):
+    h = t_next - t
+    s1 = t + r1 * h
+    s2 = t + r2 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _dpm_eps(denoise, u1, s1)
+    u2 = (
+        x
+        - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps
+        - jnp.exp(-s2) * (r2 / r1)
+        * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
+    )
+    eps_r2 = _dpm_eps(denoise, u2, s2)
+    x_3 = (
+        x
+        - jnp.exp(-t_next) * jnp.expm1(h) * eps
+        - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps)
+    )
+    return x_3
+
+
+def sample_dpm_fast(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                    return_history=False, noise=None, eta=0.0, s_noise=1.0,
+                    **_):
+    """k-diffusion sample_dpm_fast: fixed t-uniform segments with order
+    pattern [3, 3, ..., tail]. sigma range = (sigmas[-2], sigmas[0]) as the
+    reference passes for img2img."""
+    n = len(sigmas) - 1
+    sigma_min = float(sigmas[-2])
+    sigma_max = float(sigmas[0])
+    t_start, t_end = -np.log(sigma_max), -np.log(sigma_min)
+    m = n // 3 + 1
+    ts = np.linspace(t_start, t_end, m + 1)
+    if n % 3 == 0:
+        orders = [3] * (m - 2) + [2, 1]
+    else:
+        orders = [3] * (m - 1) + [n % 3]
+
+    hist = []
+    for i, order in enumerate(orders):
+        t, t_next = jnp.float32(ts[i]), jnp.float32(ts[i + 1])
+        eps = _dpm_eps(denoise, x, t)
+        if order == 1:
+            x = _dpm_1_step(x, t, t_next, eps)
+        elif order == 2:
+            x = _dpm_2_step(denoise, x, t, t_next, eps)
+        else:
+            x = _dpm_3_step(denoise, x, t, t_next, eps)
+        hist.append(x)
+    if return_history:
+        return x, jnp.stack(hist)
+    return x
+
+
+def sample_dpm_adaptive(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                        return_history=False, noise=None, order=3,
+                        rtol=0.05, atol=0.0078, h_init=0.05, pcoeff=0.0,
+                        icoeff=1.0, dcoeff=0.0, accept_safety=0.81,
+                        max_steps=200, **_):
+    """k-diffusion sample_dpm_adaptive: embedded-order error control with a
+    PID step-size controller, as a bounded lax.while_loop."""
+    sigma_min = float(sigmas[-2])
+    sigma_max = float(sigmas[0])
+    t_start, t_end = -np.log(sigma_max), -np.log(sigma_min)
+    b1 = (pcoeff + icoeff + dcoeff) / order
+    b2 = -(pcoeff + 2 * dcoeff) / order
+    b3 = dcoeff / order
+    numel = float(np.prod(x.shape))
+
+    def cond(state):
+        s, h, x, x_prev, errs, i = state
+        return jnp.logical_and(s < t_end - 1e-5, i < max_steps)
+
+    def body(state):
+        s, h, x, x_prev, errs, i = state
+        t = jnp.minimum(jnp.float32(t_end), s + h)
+        eps = _dpm_eps(denoise, x, s)
+        if order == 2:
+            x_low = _dpm_1_step(x, s, t, eps)
+            x_high = _dpm_2_step(denoise, x, s, t, eps)
+        else:
+            x_low = _dpm_2_step(denoise, x, s, t, eps, r1=1.0 / 3)
+            x_high = _dpm_3_step(denoise, x, s, t, eps)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low),
+                                                     jnp.abs(x_prev)))
+        error = jnp.sqrt(jnp.sum(((x_low - x_high) / delta) ** 2)) / (
+            numel**0.5
+        )
+        inv_error = 1.0 / (error + 1e-8)
+        e0 = inv_error
+        e1 = jnp.where(errs[1] == 0.0, inv_error, errs[1])
+        e2 = jnp.where(errs[2] == 0.0, inv_error, errs[2])
+        factor = e0**b1 * e1**b2 * e2**b3
+        factor = 1.0 + jnp.arctan(factor - 1.0)  # limiter
+        accept = factor >= accept_safety
+        new_x = jnp.where(accept, x_high, x)
+        new_x_prev = jnp.where(accept, x_low, x_prev)
+        new_s = jnp.where(accept, t, s)
+        new_errs = jnp.where(
+            accept, jnp.stack([e0, e0, e1]), jnp.stack([e0, errs[1], errs[2]])
+        )
+        return (new_s, h * factor, new_x, new_x_prev, new_errs, i + 1)
+
+    state = (
+        jnp.float32(t_start),
+        jnp.float32(abs(h_init)),
+        x,
+        x,
+        jnp.zeros(3, jnp.float32),
+        jnp.int32(0),
+    )
+    s, h, x, x_prev, errs, i = jax.lax.while_loop(cond, body, state)
+    if return_history:
+        return x, x[None]
+    return x
+
+
+SOLVERS["dpm_fast"] = (sample_dpm_fast, 0, {})
+SOLVERS["dpm_adaptive"] = (sample_dpm_adaptive, 0, {})

@@ -183,3 +183,19 @@ def test_lms_coefficients_sum_to_dt():
     np.testing.assert_allclose(
         coeffs.sum(1), np.diff(sigmas), rtol=1e-9, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("name", ["dpm_fast", "dpm_adaptive"])
+def test_dpm_fast_adaptive_converge(name):
+    fn, draws, defaults = solvers.SOLVERS[name]
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 2), jnp.float32)
+    sigmas = schedules.get_sigmas(CFG, 12, "karras")
+    x = x0 + sigmas[0] * jnp.asarray(
+        np.random.RandomState(1).randn(*x0.shape), jnp.float32
+    )
+    out = fn(perfect_denoiser(x0), x, sigmas)
+    # these integrate down to sigma_min (not 0); with the perfect denoiser
+    # the exact solution is x0 + sigma_min * eps0
+    eps0 = (x - x0) / sigmas[0]
+    want = x0 + sigmas[-2] * eps0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
