@@ -1,0 +1,137 @@
+"""Minimal JSON HTTP serving layer.
+
+The reference ships a Gradio Blocks app (source/app.py:2171-3063). Gradio is
+not available in this environment, so the serving layer is a stdlib HTTP
+server exposing the same operations as JSON endpoints; a Gradio front-end
+can be layered on ``app.api.inference`` when the dependency exists (guarded
+import in ``launch_gradio``).
+
+Endpoints:
+  POST /generate   — inference() parameters as JSON (images base64 PNG-less
+                     raw arrays for zero-dependency transport)
+  GET  /models     — registered checkpoints
+  GET  /samplers   — sampler registry names
+  GET  /health
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .. import registry
+from .api import ModelManager, inference
+
+
+def _encode_images(images: np.ndarray):
+    out = []
+    for img in images:
+        buf = io.BytesIO()
+        np.save(buf, img)
+        out.append(base64.b64encode(buf.getvalue()).decode())
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    manager: ModelManager = None  # set by serve()
+    lock = threading.Lock()  # serialize generations (reference: gradio queue)
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"ok": True})
+        elif self.path == "/models":
+            self._json(200, {"models": sorted(self.manager._dirs)})
+        elif self.path == "/samplers":
+            self._json(200, {"samplers": sorted(registry.SAMPLERS)})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            region_state = None
+            if req.get("region_state"):
+                region_state = {
+                    phrase: {
+                        "mask": np.asarray(spec["mask"], np.float32),
+                        "weight": float(spec.get("weight", 1.0)),
+                        "mask_outsides": float(
+                            spec.get("mask_outsides", 0.0)
+                        ),
+                    }
+                    for phrase, spec in req["region_state"].items()
+                }
+            kwargs = {
+                k: req[k]
+                for k in (
+                    "neg_prompt", "sampler", "steps", "cfg_scale", "width",
+                    "height", "seed", "num_images_per_prompt", "clip_skip",
+                    "encoding_mode", "guidance_rescale", "strength",
+                    "hires_scale", "hires_strength", "hires_mode",
+                )
+                if k in req
+            }
+            with self.lock:
+                result = inference(
+                    self.manager,
+                    prompt=req["prompt"],
+                    model=req["model"],
+                    region_state=region_state,
+                    **kwargs,
+                )
+            self._json(
+                200,
+                {
+                    "images": _encode_images(result["images"]),
+                    "timings": result["timings"],
+                },
+            )
+        except Exception as e:  # noqa: BLE001 - report to client
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def serve(manager: ModelManager, host: str = "127.0.0.1", port: int = 7860,
+          block: bool = True) -> Optional[ThreadingHTTPServer]:
+    handler = type("Handler", (_Handler,), {"manager": manager})
+    server = ThreadingHTTPServer((host, port), handler)
+    if block:
+        server.serve_forever()
+        return None
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def launch_gradio(manager: ModelManager, **kwargs):  # pragma: no cover
+    """Gradio front-end when the dependency is available."""
+    try:
+        import gradio  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "gradio is not installed; use app.server.serve (JSON HTTP) "
+            "instead"
+        ) from e
+    raise NotImplementedError(
+        "gradio UI pending; the JSON server covers the API surface"
+    )

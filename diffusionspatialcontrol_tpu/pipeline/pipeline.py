@@ -131,6 +131,11 @@ def make_denoise_fn(
     """Builds the sigma-space denoiser D(x; sigma) used by every solver."""
     do_cfg = guidance_scale > 1.0
     ex = extras or DenoiseExtras()
+    context = context.astype(compute_dtype)
+    if ex.ip_tokens is not None:
+        ex = dataclasses.replace(
+            ex, ip_tokens=tuple(t.astype(compute_dtype) for t in ex.ip_tokens)
+        )
     sig_steps = (
         jnp.asarray(sigma_steps, jnp.float32)
         if sigma_steps is not None

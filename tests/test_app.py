@@ -1,0 +1,150 @@
+"""App layer: registry resolution, region UI utils, inference(), server."""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionspatialcontrol_tpu import registry
+from diffusionspatialcontrol_tpu.app.api import (
+    ControlNetUnit,
+    ModelManager,
+    inference,
+)
+from diffusionspatialcontrol_tpu.utils import region_ui
+from tests.test_pipeline import TINY
+
+
+def test_sampler_registry():
+    spec = registry.resolve_sampler("DPM++ 2M Karras")
+    assert spec.solver == "dpmpp_2m" and spec.schedule == "karras"
+    spec = registry.resolve_sampler("DPM++ 3M SDE Exponential")
+    assert spec.discard_next_to_last_sigma and spec.brownian_noise
+    spec = registry.resolve_sampler("DPM++ 2M SDE Heun Karras")
+    assert spec.solver == "dpmpp_2m_sde_heun"
+    with pytest.raises(KeyError):
+        registry.resolve_sampler("nope")
+    # every registered solver key exists in the solver table
+    from diffusionspatialcontrol_tpu.samplers.solvers import SOLVERS
+
+    for name, spec in registry.SAMPLERS.items():
+        assert spec.solver in SOLVERS, name
+
+
+def test_model_zoo_size():
+    assert len(registry.MODEL_ZOO) == 52  # source/app.py:111-164
+    assert len(registry.CONTROLNET_MODELS) == 12
+    assert len(registry.T2I_ADAPTER_MODELS) == 7
+    assert len(registry.IP_ADAPTER_MODELS) == 6
+
+
+def test_region_color_clustering():
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:, :32] = [255, 0, 0]
+    img[:32, 32:] = [0, 0, 255]
+    # rest black (must survive as its own region via remap)
+    masks = region_ui.extract_color_masks(img)
+    assert len(masks) == 3
+    areas = sorted(float(m.mean()) for m in masks)
+    assert abs(areas[0] - 0.25) < 0.01
+    assert abs(areas[2] - 0.5) < 0.01
+
+
+def test_region_state_build_and_overlay():
+    mask = np.zeros((32, 32), np.float32)
+    mask[:, :16] = 1.0
+    state = region_ui.build_region_state(
+        ["red cat", "blue dog"], [mask, 1 - mask], weights=[0.5, 0.7]
+    )
+    assert state["red cat"]["weight"] == 0.5
+    img = region_ui.create_mixed_img(state, 32, 32, selected="red cat")
+    assert img.shape == (32, 32, 4)
+
+
+def test_grayscale_map_convention():
+    gray = np.full((8, 8), 255, np.uint8)
+    gray[:4] = 0
+    m = region_ui.mask_from_grayscale_map(gray)
+    assert m[:4].all() and not m[4:].any()
+
+
+@pytest.fixture(scope="module")
+def manager():
+    m = ModelManager(dtype=jnp.float32)
+    m.register_random("tiny", TINY)
+    return m
+
+
+def test_inference_end_to_end(manager):
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    result = inference(
+        manager,
+        prompt="a red cat and a dog",
+        model="tiny",
+        sampler="Euler Karras",
+        steps=3,
+        width=64,
+        height=64,
+        region_state=region_ui.build_region_state(["red cat"], [mask]),
+        encoding_mode="short",
+        dtype=jnp.float32,
+    )
+    assert result["images"].shape == (1, 64, 64, 3)
+    assert result["images"].dtype == np.uint8
+    t = json.loads(result["timings"])
+    assert "sample_s" in t and "encode_s" in t
+
+
+def test_inference_img2img_and_preview(manager):
+    init = np.zeros((64, 64, 3), np.uint8)
+    result = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler",
+        steps=3, width=64, height=64, init_image=init, strength=0.5,
+        encoding_mode="short", dtype=jnp.float32,
+    )
+    assert result["images"].shape == (1, 64, 64, 3)
+
+    result = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=3,
+        width=64, height=64, latent_preview=True, encoding_mode="short",
+        dtype=jnp.float32,
+    )
+    assert len(result["previews"]) == 3
+
+
+def test_http_server(manager):
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    server = serve(manager, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/samplers"
+        ) as r:
+            samplers = json.loads(r.read())["samplers"]
+        assert "DPM++ 2M Karras" in samplers
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(
+                {
+                    "prompt": "a cat",
+                    "model": "tiny",
+                    "sampler": "Euler",
+                    "steps": 2,
+                    "width": 64,
+                    "height": 64,
+                    "encoding_mode": "short",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+        assert len(payload["images"]) == 1
+    finally:
+        server.shutdown()
