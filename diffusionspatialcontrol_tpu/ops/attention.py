@@ -72,21 +72,72 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def logits_std_gram(q: jnp.ndarray, k: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """Unbiased std of the full logits tensor s = scale * Q K^T computed
+    WITHOUT materializing s, via moment identities:
+
+        sum(s)   = scale * sum_bh <sum_l q, sum_s k>
+        sum(s^2) = scale^2 * sum_bh tr(Qgram_bh Kgram_bh),
+                   Qgram = sum_l q q^T, Kgram = sum_s k k^T
+
+    O(BH (L+S) D^2) instead of the reference's O(BH L S D) logits pass
+    (attention_modify.py:90-95) — this is what makes the spatial-control
+    overhead vanish. All accumulation in fp32.
+    """
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    n = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    q_sum = qf.sum(axis=2)  # (B, H, D)
+    k_sum = kf.sum(axis=2)
+    total = jnp.einsum("bhd,bhd->", q_sum, k_sum) * scale
+    q_gram = jnp.einsum("bhld,bhle->bhde", qf, qf)
+    k_gram = jnp.einsum("bhsd,bhse->bhde", kf, kf)
+    total_sq = jnp.einsum("bhde,bhde->", q_gram, k_gram) * (scale * scale)
+    mean = total / n
+    var = (total_sq - n * mean * mean) / (n - 1)
+    return jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      region_state: jnp.ndarray, sigma: jnp.ndarray,
                      weight_scale: float = 1.0,
                      scale: Optional[float] = None) -> jnp.ndarray:
-    """Region-biased cross-attention (jnp reference implementation).
+    """Region-biased cross-attention.
 
     q: (B, H, L, D); k, v: (B, H, S, D); region_state: (B, L, S) — the
     rasterized per-resolution mask bias M with strengths S/S' baked in;
     sigma: scalar current noise level.
 
-    Computes softmax(s + region_state * weight_scale * sigma * std(s)) @ V with
-    std taken over the entire (B, H, L, S) logits tensor (matching the
+    Computes softmax(s + region_state * weight_scale * sigma * std(s)) @ V
+    with std taken over the entire (B, H, L, S) logits tensor (matching the
     reference's global ``qk.std()`` at source/modules/model_k_diffusion.py:561
-    and attention_modify.py:95).
+    and attention_modify.py:95). The std comes from the closed-form Gram
+    reduction (``logits_std_gram``) and the biased softmax-V runs through
+    XLA's fused attention, so full logits are never materialized.
     """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    std = logits_std_gram(q, k, scale)
+    w = region_state.astype(jnp.float32) * (
+        jnp.float32(weight_scale) * sigma.astype(jnp.float32) * std
+    )
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        bias=w[:, None, :, :],
+        scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def region_attention_reference(q, k, v, region_state, sigma,
+                               weight_scale: float = 1.0,
+                               scale: Optional[float] = None) -> jnp.ndarray:
+    """Materialized-logits implementation mirroring the reference's
+    scaled_dot_product_attention_regionstate step by step — the numerics
+    oracle for the fused paths."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhld,bhsd->bhls", q, k,

@@ -538,13 +538,30 @@ class StableDiffusionTPU:
         ``hires``: optional dict(scale=2.0, strength=0.6, steps=None,
         mode="bilinear", antialias=False) — latent upscale + recursive
         img2img (reference: model_k_diffusion.py:1179-1226; modes
-        source/app.py:2117-2127)."""
+        source/app.py:2117-2127).
+
+        ``seed`` may be a list (one per batch element): each sample's
+        latents/noise then depend only on its own seed, making results
+        invariant to batch composition and mesh shape (SURVEY.md §4 item e).
+        """
         sigmas, defaults = self._schedule(gen)
-        key = jax.random.PRNGKey(seed)
-        k_lat, k_noise = jax.random.split(key)
-        shape = (batch_size, gen.latent_height, gen.latent_width, 4)
-        if latents is None:
-            latents = jax.random.normal(k_lat, shape, jnp.float32)
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            seeds = [int(s) for s in seed]
+            batch_size = len(seeds)
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+            k_lat = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+            k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+            shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+            if latents is None:
+                latents = jax.vmap(
+                    lambda k: jax.random.normal(k, shape[1:], jnp.float32)
+                )(k_lat)
+        else:
+            key = jax.random.PRNGKey(seed)
+            k_lat, k_noise = jax.random.split(key)
+            shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+            if latents is None:
+                latents = jax.random.normal(k_lat, shape, jnp.float32)
         latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
 
         noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)

@@ -27,9 +27,12 @@ def step_noise(
 ) -> jnp.ndarray:
     """Returns (n_steps, draws_per_step, *shape) standard normal noise.
 
-    The batch axis (shape[0]) is sampled per-element with per-sample folded
-    keys so each batch element's noise stream is independent of the batch it
-    rides in (batch-size invariance, like BrownianTree seeded per sample)."""
+    ``key`` is either a single PRNG key (split per batch element) or a
+    stacked (B, ...) array of per-sample keys — in the latter case each
+    sample's noise stream depends only on its own key, so results are
+    invariant to batch composition and mesh sharding (the guarantee the
+    reference gets from per-sample BrownianTree seeds,
+    model_k_diffusion.py:884-890)."""
     batch = shape[0]
     sample_shape = shape[1:]
 
@@ -38,6 +41,9 @@ def step_noise(
             sample_key, (n_steps, draws_per_step) + sample_shape, dtype
         )
 
-    keys = jax.random.split(key, batch)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) and key.ndim == 1:
+        keys = key  # stacked per-sample typed keys
+    else:
+        keys = jax.random.split(key, batch)
     per = jax.vmap(per_sample)(keys)  # (B, n_steps, draws, ...)
     return jnp.moveaxis(per, 0, 2)  # (n_steps, draws, B, ...)

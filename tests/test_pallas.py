@@ -1,0 +1,94 @@
+"""Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionspatialcontrol_tpu.ops import attention as attn_ops
+from diffusionspatialcontrol_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+)
+from diffusionspatialcontrol_tpu.ops.pallas.region_attention import (
+    region_attention as pallas_region_attention,
+)
+
+
+def test_pallas_region_attention_matches_reference():
+    rng = np.random.RandomState(0)
+    B, H, L, S, D = 2, 4, 64, 77, 40
+    q = rng.randn(B, H, L, D).astype(np.float32)
+    k = rng.randn(B, H, S, D).astype(np.float32)
+    v = rng.randn(B, H, S, D).astype(np.float32)
+    region = rng.randn(B, L, S).astype(np.float32) * 0.5
+    sigma = jnp.asarray(4.2)
+    ref = attn_ops.region_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(region),
+        sigma,
+    )
+    got = pallas_region_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(region),
+        sigma,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_pallas_region_attention_head_broadcast():
+    """Bias must broadcast across heads (the reference's repeat_interleave)."""
+    rng = np.random.RandomState(1)
+    B, H, L, S, D = 1, 3, 16, 5, 8
+    q = np.repeat(rng.randn(B, 1, L, D), H, axis=1).astype(np.float32)
+    k = np.repeat(rng.randn(B, 1, S, D), H, axis=1).astype(np.float32)
+    v = np.repeat(rng.randn(B, 1, S, D), H, axis=1).astype(np.float32)
+    region = rng.randn(B, L, S).astype(np.float32)
+    out = pallas_region_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(region),
+        jnp.asarray(2.0),
+    )
+    # identical per head since q/k/v identical per head and bias broadcast
+    for hh in range(1, H):
+        np.testing.assert_allclose(
+            np.asarray(out[:, 0]), np.asarray(out[:, hh]), atol=1e-6
+        )
+
+
+def test_pallas_flash_attention_matches_reference():
+    rng = np.random.RandomState(2)
+    B, H, L, D = 1, 2, 200, 40  # non-multiple-of-128 L and D
+    q = rng.randn(B, H, L, D).astype(np.float32)
+    ref = attn_ops.attention_reference(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q)
+    )
+    got = flash_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_unet_pallas_attn_impl_matches_xla():
+    from diffusionspatialcontrol_tpu.models.unet import (
+        RegionState,
+        UNetCond,
+        unet_apply,
+    )
+    from diffusionspatialcontrol_tpu.models.unet import unet_init
+    from tests.test_pipeline import TINY
+
+    params = unet_init(jax.random.PRNGKey(0), TINY.unet, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 64))
+    t = jnp.array([500.0])
+    biases = tuple(
+        jax.random.normal(
+            jax.random.PRNGKey(3 + i), (1, (16 // 2**i) ** 2, 77)
+        ) * 0.3
+        for i in range(4)
+    )
+    cond = UNetCond(context=ctx, region=RegionState(biases,
+                                                    jnp.asarray(2.0)))
+    a = unet_apply(params, TINY.unet, x, t, cond, attn_impl="xla")
+    b = unet_apply(params, TINY.unet, x, t, cond, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                               atol=5e-4)

@@ -116,3 +116,31 @@ def test_data_parallel_batch_matches_single(pipe):
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(out_sharded), atol=1e-3
     )
+
+
+def test_per_sample_seeds_batch_invariance(pipe):
+    """Sample generated with seed s in a batch of 4 equals the same seed
+    generated alone (batch-composition invariance)."""
+    ctx4, _ = pipe.encode_prompt(["a cat"] * 4, [""] * 4)
+    ctx1, _ = pipe.encode_prompt(["a cat"], [""])
+    batch = pipe.txt2img(ctx4, GEN, seed=[11, 22, 33, 44], decode=False)
+    solo = pipe.txt2img(ctx1, GEN, seed=[33], decode=False)
+    np.testing.assert_allclose(
+        np.asarray(batch[2]), np.asarray(solo[0]), atol=1e-4
+    )
+
+
+def test_generate_grid(pipe):
+    from diffusionspatialcontrol_tpu.parallel.batched import generate_grid
+
+    out = generate_grid(
+        pipe, ["a cat", "a dog"], [1, 2, 3], GEN, decode=False, mesh=None
+    )
+    assert out.shape == (6, 8, 8, 4)
+    # prompt-major order: rows 0-2 are prompt 0 with seeds 1,2,3
+    solo = pipe.txt2img(
+        pipe.encode_prompt(["a dog"], [""])[0], GEN, seed=[2], decode=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[4]), np.asarray(solo[0]), atol=1e-4
+    )

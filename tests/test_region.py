@@ -122,3 +122,34 @@ def test_none_state_gives_zero_biases():
     )
     for b in biases:
         assert float(jnp.abs(b).sum()) == 0.0
+
+
+def test_gram_std_matches_direct():
+    rng = np.random.RandomState(7)
+    q = rng.randn(2, 4, 64, 16).astype(np.float32)
+    k = rng.randn(2, 4, 11, 16).astype(np.float32)
+    scale = 16**-0.5
+    logits = np.einsum("bhld,bhsd->bhls", q, k) * scale
+    want = np.std(logits, ddof=1)
+    got = float(attn_ops.logits_std_gram(jnp.asarray(q), jnp.asarray(k),
+                                         scale))
+    assert abs(got - want) / want < 1e-4
+
+
+def test_fused_region_attention_matches_reference_impl():
+    rng = np.random.RandomState(8)
+    q = rng.randn(2, 4, 32, 16).astype(np.float32)
+    k = rng.randn(2, 4, 9, 16).astype(np.float32)
+    v = rng.randn(2, 4, 9, 16).astype(np.float32)
+    region = rng.randn(2, 32, 9).astype(np.float32)
+    sigma = jnp.asarray(5.0)
+    ref = attn_ops.region_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(region),
+        sigma,
+    )
+    got = attn_ops.region_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(region),
+        sigma,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
