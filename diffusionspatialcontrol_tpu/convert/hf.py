@@ -354,3 +354,89 @@ def load_pipeline_params(model_dir: str, cfg: ModelConfig,
         "vae": convert_vae(vae_sd, cfg.vae, dtype),
         "clip": convert_clip(clip_sd, cfg.clip, dtype, n_extra_tokens),
     }
+
+
+def convert_controlnet(sd: StateDict, cfg: UNetConfig,
+                       dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """ControlNet state dict (diffusers layout) -> our controlnet tree
+    (models/controlnet.py)."""
+    params: Dict[str, Any] = {
+        "conv_in": _conv(sd, "conv_in", dtype),
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1", dtype),
+            "linear_2": _linear(sd, "time_embedding.linear_2", dtype),
+        },
+    }
+    ce = {"conv_in": _conv(sd, "controlnet_cond_embedding.conv_in", dtype),
+          "blocks": [], "conv_out": _conv(
+              sd, "controlnet_cond_embedding.conv_out", dtype)}
+    i = 0
+    while f"controlnet_cond_embedding.blocks.{i}.weight" in sd.tensors:
+        ce["blocks"].append(
+            _conv(sd, f"controlnet_cond_embedding.blocks.{i}", dtype)
+        )
+        i += 1
+    params["cond_embedding"] = ce
+
+    down = []
+    in_c = cfg.block_out_channels[0]
+    for level, out_c in enumerate(cfg.block_out_channels):
+        pre = f"down_blocks.{level}"
+        block = {"resnets": [], "attentions": []}
+        for j in range(cfg.layers_per_block):
+            cin = in_c if j == 0 else out_c
+            block["resnets"].append(
+                _resnet(sd, f"{pre}.resnets.{j}", cin != out_c, dtype)
+            )
+            if cfg.attn_levels[level]:
+                block["attentions"].append(
+                    _transformer(sd, f"{pre}.attentions.{j}", cfg, dtype)
+                )
+        if level < cfg.num_levels - 1:
+            block["downsample"] = _conv(sd, f"{pre}.downsamplers.0.conv",
+                                        dtype)
+        down.append(block)
+        in_c = out_c
+    params["down_blocks"] = down
+    params["mid_block"] = {
+        "resnet1": _resnet(sd, "mid_block.resnets.0", False, dtype),
+        "attention": _transformer(sd, "mid_block.attentions.0", cfg, dtype),
+        "resnet2": _resnet(sd, "mid_block.resnets.1", False, dtype),
+    }
+    zero_convs = []
+    i = 0
+    while f"controlnet_down_blocks.{i}.weight" in sd.tensors:
+        zero_convs.append(_conv(sd, f"controlnet_down_blocks.{i}", dtype))
+        i += 1
+    params["zero_convs"] = zero_convs
+    params["mid_zero_conv"] = _conv(sd, "controlnet_mid_block", dtype)
+    return params
+
+
+def convert_t2i_adapter(sd: StateDict, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """TencentARC full_adapter state dict -> our t2i tree
+    (models/t2i_adapter.py). diffusers names: adapter.conv_in (only for
+    light variants), adapter.body.{i}.in_conv, .resnets.{j}.block1/block2."""
+    blocks = []
+    i = 0
+    while any(k.startswith(f"adapter.body.{i}.") for k in sd.tensors):
+        pre = f"adapter.body.{i}"
+        block: Dict[str, Any] = {"in_conv": None, "resnets": []}
+        if f"{pre}.in_conv.weight" in sd.tensors:
+            block["in_conv"] = _conv(sd, f"{pre}.in_conv", dtype)
+        j = 0
+        while f"{pre}.resnets.{j}.block1.weight" in sd.tensors:
+            block["resnets"].append(
+                {
+                    "block1": _conv(sd, f"{pre}.resnets.{j}.block1", dtype),
+                    "block2": _conv(sd, f"{pre}.resnets.{j}.block2", dtype),
+                }
+            )
+            j += 1
+        blocks.append(block)
+        i += 1
+    params = {"blocks": blocks}
+    if "adapter.conv_in.weight" in sd.tensors:
+        # full_adapter's conv_in folds into the first block's in_conv slot
+        params["blocks"][0]["in_conv"] = _conv(sd, "adapter.conv_in", dtype)
+    return params

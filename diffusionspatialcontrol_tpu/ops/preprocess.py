@@ -1,0 +1,181 @@
+"""Control-signal preprocessors (L0 of the reference's layer map).
+
+The reference drives 12 ControlNet + 7 T2I-Adapter preprocessors through
+controlnet_aux / transformers vision models (source/app.py:654-757,
+preprocessing_segmentation.py). The ones that are pure image processing are
+implemented here natively in numpy (canny, color quantize-blocks for the
+T2I color adapter, content shuffle, scribble/invert, grayscale); the
+model-based detectors (depth, openpose, segmentation, lineart, softedge,
+normal-bae, mlsd, zoe) each require their own vision network — the framework
+exposes them through ``MODEL_BASED_PREPROCESSORS`` as conversion-ready
+entries (the ControlNets themselves work with any externally produced
+control image).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img, np.float32)
+    if img.ndim == 3:
+        return img @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    return img
+
+
+def _gaussian_kernel(sigma: float):
+    radius = max(1, int(3 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _convolve_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    pad = len(k) // 2
+    p = np.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    out = np.zeros_like(img)
+    for i, kv in enumerate(k):
+        out += kv * p[i : i + img.shape[0]]
+    p = np.pad(out, ((0, 0), (pad, pad)), mode="edge")
+    out2 = np.zeros_like(img)
+    for i, kv in enumerate(k):
+        out2 += kv * p[:, i : i + img.shape[1]]
+    return out2
+
+
+def canny(img: np.ndarray, low: float = 100.0, high: float = 200.0,
+          sigma: float = 1.0) -> np.ndarray:
+    """Canny edges -> (H, W, 3) float [0,1] control image (the reference's
+    CannyDetector path, app.py:92 'Canny')."""
+    g = _to_gray(img)
+    if g.max() <= 1.0:
+        g = g * 255.0
+    g = _convolve_sep(g, _gaussian_kernel(sigma))
+
+    # Sobel gradients (cv2.Canny threshold conventions: kernel gain 4)
+    p = np.pad(g, 1, mode="edge")
+    sx = p[:, 2:] - p[:, :-2]  # central diff in x, rows padded
+    gx = sx[:-2, :] + 2 * sx[1:-1, :] + sx[2:, :]
+    sy = p[2:, :] - p[:-2, :]
+    gy = sy[:, :-2] + 2 * sy[:, 1:-1] + sy[:, 2:]
+    mag = np.hypot(gx, gy)
+    ang = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+
+    # non-maximum suppression (4 quantized directions)
+    nms = np.zeros_like(mag)
+    m = np.pad(mag, 1, mode="constant")
+    h, w = mag.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    yc, xc = ys + 1, xs + 1
+    d0 = (ang < 22.5) | (ang >= 157.5)
+    d45 = (ang >= 22.5) & (ang < 67.5)
+    d90 = (ang >= 67.5) & (ang < 112.5)
+    d135 = (ang >= 112.5) & (ang < 157.5)
+    keep = (
+        (d0 & (mag >= m[yc, xc + 1]) & (mag >= m[yc, xc - 1]))
+        | (d45 & (mag >= m[yc + 1, xc + 1]) & (mag >= m[yc - 1, xc - 1]))
+        | (d90 & (mag >= m[yc + 1, xc]) & (mag >= m[yc - 1, xc]))
+        | (d135 & (mag >= m[yc + 1, xc - 1]) & (mag >= m[yc - 1, xc + 1]))
+    )
+    nms = np.where(keep, mag, 0.0)
+
+    strong = nms >= high
+    weak = (nms >= low) & ~strong
+    # hysteresis: weak pixels connected to strong survive (iterative dilate)
+    out = strong.copy()
+    for _ in range(16):
+        grown = np.zeros_like(out)
+        grown[1:, :] |= out[:-1, :]
+        grown[:-1, :] |= out[1:, :]
+        grown[:, 1:] |= out[:, :-1]
+        grown[:, :-1] |= out[:, 1:]
+        grown[1:, 1:] |= out[:-1, :-1]
+        grown[:-1, :-1] |= out[1:, 1:]
+        grown[1:, :-1] |= out[:-1, 1:]
+        grown[:-1, 1:] |= out[1:, :-1]
+        new = out | (weak & grown)
+        if (new == out).all():
+            break
+        out = new
+    edge = out.astype(np.float32)
+    return np.stack([edge] * 3, -1)
+
+
+def color_blocks(img: np.ndarray, block: int = 64) -> np.ndarray:
+    """T2I color adapter preprocessing: downsample to coarse blocks then
+    nearest-upsample (controlnet_aux ColorDetector equivalent,
+    app.py 'Color')."""
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.0:
+        img = img / 255.0
+    h, w = img.shape[:2]
+    bh, bw = max(h // block, 1), max(w // block, 1)
+    ys = (np.arange(bh) * h / bh).astype(int)
+    xs = (np.arange(bw) * w / bw).astype(int)
+    small = img[np.ix_(ys, xs)]
+    ys2 = (np.arange(h) * bh / h).astype(int).clip(0, bh - 1)
+    xs2 = (np.arange(w) * bw / w).astype(int).clip(0, bw - 1)
+    return small[np.ix_(ys2, xs2)]
+
+
+def content_shuffle(img: np.ndarray, f: int = 256,
+                    seed: int = 0) -> np.ndarray:
+    """ContentShuffleDetector equivalent: random smooth flow warp
+    (app.py 'Shuffle')."""
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.0:
+        img = img / 255.0
+    h, w = img.shape[:2]
+    rng = np.random.RandomState(seed)
+    flow = rng.rand(2, max(h // f, 2), max(w // f, 2)).astype(np.float32)
+    # upsample flow bilinearly (cheap nearest here), scale to image size
+    fy = resize_nearest(flow[0], h, w) * (h - 1)
+    fx = resize_nearest(flow[1], h, w) * (w - 1)
+    return img[fy.astype(int).clip(0, h - 1),
+               fx.astype(int).clip(0, w - 1)]
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h) * sh / h).astype(int).clip(0, sh - 1)
+    xs = (np.arange(w) * sw / w).astype(int).clip(0, sw - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def invert(img: np.ndarray) -> np.ndarray:
+    """Scribble/lineart inversion helper (white-on-black convention)."""
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.0:
+        img = img / 255.0
+    return 1.0 - img
+
+
+def grayscale3(img: np.ndarray) -> np.ndarray:
+    g = _to_gray(img)
+    if g.max() > 1.0:
+        g = g / 255.0
+    return np.stack([g] * 3, -1)
+
+
+NATIVE_PREPROCESSORS: Dict[str, Callable] = {
+    "Canny": canny,
+    "Color": color_blocks,
+    "Shuffle": content_shuffle,
+    "Scribble": invert,
+    "Grayscale": grayscale3,
+    "None": lambda x: np.asarray(x, np.float32) / (
+        255.0 if np.asarray(x).max() > 1.0 else 1.0
+    ),
+}
+
+# Detectors that need their own vision networks (weights converted with
+# convert.hf-style loaders when available locally); names match the
+# reference UI (app.py:86-101).
+MODEL_BASED_PREPROCESSORS = (
+    "Depth", "Openpose", "Soft Edge", "Lineart", "Lineart (anime)",
+    "MLSD", "Semantic Segmentation", "Normal Map", "Zoedepth",
+    "Instruct Pix2Pix",
+)
