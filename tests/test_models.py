@@ -200,3 +200,95 @@ def test_sd15_param_count():
     params = unet_init(jax.random.PRNGKey(0), UNetConfig(), jnp.bfloat16)
     n = factory.param_count(params)
     assert 850e6 < n < 870e6, f"unexpected param count {n/1e6:.1f}M"
+
+
+def test_sd21_unet_topology():
+    """SD2.x: linear projections, per-level head counts, 1024 cross dim."""
+    from diffusionspatialcontrol_tpu.config import sd21_config
+
+    cfg = sd21_config()
+    import dataclasses
+
+    tiny21 = dataclasses.replace(
+        cfg.unet,
+        block_out_channels=(32, 64, 128, 128),
+        cross_attention_dim=64,
+        num_attention_heads=(2, 2, 4, 4),
+        norm_num_groups=8,
+        use_linear_projection=True,
+    )
+    params = unet_init(jax.random.PRNGKey(0), tiny21, jnp.float32)
+    # linear proj_in has 2D kernel, conv proj would be 4D
+    proj = params["down_blocks"][0]["attentions"][0]["proj_in"]["kernel"]
+    assert proj.ndim == 2
+    x = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 77, 64))
+    out = unet_apply(params, tiny21, x, jnp.array([1.0]),
+                     UNetCond(context=ctx))
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_v_prediction_denoiser():
+    """v-prediction wrapping (CompVisVDenoiser semantics,
+    external_k_diffusion.py:142-182)."""
+    import dataclasses
+
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import make_denoise_fn
+    from diffusionspatialcontrol_tpu.samplers import schedules
+    from tests.test_pipeline import TINY
+
+    cfg_v = dataclasses.replace(TINY, prediction_type="v_prediction")
+    params = {
+        "unet": unet_init(jax.random.PRNGKey(0), TINY.unet, jnp.float32)
+    }
+    table = schedules.ddpm_sigma_table(cfg_v)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    ctx = jnp.zeros((2, 77, 64))
+    fn = make_denoise_fn(params, cfg_v, ctx, None, log_table,
+                         guidance_scale=7.5, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    sigma = jnp.asarray(5.0)
+    out = fn(x, sigma)
+    assert out.shape == x.shape
+    # check against manual formula: D = v*c_out + x*c_skip
+    c_in = 1.0 / jnp.sqrt(sigma**2 + 1)
+    from diffusionspatialcontrol_tpu.models.unet import UNetCond, unet_apply
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import _sigma_to_t
+
+    t = _sigma_to_t(sigma, log_table)
+    x2 = jnp.concatenate([x, x]) * c_in
+    v = unet_apply(params["unet"], TINY.unet, x2,
+                   jnp.full((2,), t), UNetCond(context=ctx))
+    c_skip = 1.0 / (sigma**2 + 1)
+    c_out = -sigma / jnp.sqrt(sigma**2 + 1)
+    den = v * c_out + jnp.concatenate([x, x]) * c_skip
+    d_u, d_c = jnp.split(den, 2)
+    want = d_u + 7.5 * (d_c - d_u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_inpaint_9channel_unet():
+    import dataclasses
+
+    cfg9 = dataclasses.replace(TINY_UNET, in_channels=9)
+    params = unet_init(jax.random.PRNGKey(0), cfg9, jnp.float32)
+    x = jnp.zeros((1, 16, 16, 9))
+    out = unet_apply(params, cfg9, x, jnp.array([1.0]),
+                     UNetCond(context=jnp.zeros((1, 77, 64))))
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_freeu():
+    from diffusionspatialcontrol_tpu.models.unet import FreeUParams
+
+    params = unet_init(jax.random.PRNGKey(0), TINY_UNET, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 64))
+    t = jnp.array([500.0])
+    base = unet_apply(params, TINY_UNET, x, t, UNetCond(context=ctx))
+    freeu = unet_apply(params, TINY_UNET, x, t, UNetCond(context=ctx),
+                       freeu=FreeUParams())
+    assert freeu.shape == base.shape
+    assert not np.allclose(np.asarray(base), np.asarray(freeu))
+    assert np.all(np.isfinite(np.asarray(freeu)))
