@@ -217,3 +217,19 @@ def test_clip_conversion_extra_tokens():
     got = hf.convert_clip(hf.StateDict(dst), cfg, jnp.float32,
                           n_extra_tokens=8)
     assert got["token_embedding"].shape[0] == cfg.vocab_size + 8
+
+
+def test_orbax_param_cache(tmp_path):
+    from diffusionspatialcontrol_tpu.convert import cache as pcache
+    from diffusionspatialcontrol_tpu.models.clip import clip_init
+
+    params = {"clip": clip_init(jax.random.PRNGKey(0), TINY.clip,
+                                jnp.float32)}
+    path = str(tmp_path / "snap")
+    pcache.save_params(path, params)
+    restored = pcache.load_params(path, like=params)
+    la = jax.tree_util.tree_leaves(params)
+    lb = jax.tree_util.tree_leaves(restored)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
