@@ -124,3 +124,22 @@ def clip_vision_apply(
         return h
     pooled = layer_norm(params["post_layernorm"], h[:, 0])
     return linear(params["visual_projection"], pooled)
+
+
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_image(images: jnp.ndarray,
+                     size: int = 224) -> jnp.ndarray:
+    """CLIPImageProcessor equivalent (registered by the reference loader,
+    ip_adapter.py:222-226): resize to size x size (bicubic) + CLIP
+    normalization. images: (B, H, W, 3) in [0, 1] or uint8."""
+    x = jnp.asarray(images)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    b = x.shape[0]
+    x = jax.image.resize(x, (b, size, size, 3), "cubic")
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
+    return (x - mean) / std
