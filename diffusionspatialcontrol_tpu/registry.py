@@ -49,6 +49,10 @@ def _table() -> Dict[str, SamplerSpec]:
         "DPM fast (img-to-img)": SamplerSpec("dpm_fast"),
         "DPM adaptive (img-to-img)": SamplerSpec("dpm_adaptive"),
         "Restart": SamplerSpec("restart", second_order=True),
+        # diffusers-scheduler-stack samplers (reference app.py:229-257)
+        "DEIS": SamplerSpec("deis"),
+        "UniPC Time Uniform 1": SamplerSpec("unipc_bh1"),
+        "UniPC Time Uniform 2": SamplerSpec("unipc_bh2"),
     }
     out: Dict[str, SamplerSpec] = {}
     schedule_suffix = {

@@ -847,3 +847,141 @@ def sample_dpm_adaptive(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
 
 SOLVERS["dpm_fast"] = (sample_dpm_fast, 0, {})
 SOLVERS["dpm_adaptive"] = (sample_dpm_adaptive, 0, {})
+
+
+# ---------------------------------------------------------------------------
+# Diffusers-stack-only solvers: UniPC and DEIS
+# (reference registry: samplers_diffusers, source/app.py:229-257)
+# ---------------------------------------------------------------------------
+
+
+def sample_unipc(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                 return_history=False, noise=None, solver_type="bh2",
+                 order=2, **_):
+    """UniPC multistep predictor-corrector (order 2), sigma-space data
+    prediction (UniPCMultistepScheduler semantics; solver_type bh1:
+    B(h)=h, bh2: B(h)=expm1(h) — 'UniPC Time Uniform 1/2' in the reference
+    UI, source/app.py:240-241).
+
+    Per step i: evaluate m_i at the predicted sample; correct x_i using the
+    previous transition's full-order system (incl. the new point, rk=1);
+    predict x_{i+1} with the lower-order system. Model outputs are not
+    re-evaluated after correction (matching diffusers)."""
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    final = sig_next == 0
+    with np.errstate(divide="ignore"):
+        lam = -np.log(np.maximum(sig, 1e-20))
+        lam_next = -np.log(np.maximum(sig_next, 1e-20))
+    h = np.where(final, 1.0, lam_next - lam)
+    hh = -h
+    h_phi_1 = np.expm1(hh)
+    phi2 = h_phi_1 / hh - 1.0
+    phi3 = phi2 / hh - 0.5
+    b_h = hh if solver_type == "bh1" else np.expm1(hh)
+
+    # predictor: uses previous eval point r0_p = (lam_{i-1}-lam_i)/h_i
+    h_prev = np.concatenate([[1.0], h[:-1]])
+    r0_p = -h_prev / h
+    rho_p = (phi2 / b_h) / np.where(r0_p == 0, 1.0, r0_p)
+
+    # corrector for transition i-1 -> i (applied at step i>=1), built from
+    # transition i-1 quantities: r0_c = (lam_{i-2}-lam_{i-1})/h_{i-1} and
+    # the new point rk=1. order-2 system: [[r0, 1],[r0^2, 1]] x = [phi2/Bh,
+    # 2*phi3/Bh]; order-1 (step 1): rhos_c = [0.5].
+    rc0 = np.zeros(n)
+    rc_t = np.zeros(n)  # coefficient of D1_t = (m_i - m_{i-1})
+    ratio_c = np.zeros(n)
+    em_c = np.zeros(n)
+    bh_c = np.zeros(n)
+    for i in range(1, n):
+        hp = h[i - 1]
+        hhp = -hp
+        p1 = np.expm1(hhp)
+        p2 = p1 / hhp - 1.0
+        p3 = p2 / hhp - 0.5
+        bhp = hhp if solver_type == "bh1" else np.expm1(hhp)
+        ratio_c[i] = sig[i] / sig[i - 1]
+        em_c[i] = p1
+        bh_c[i] = bhp
+        if i == 1:
+            rc0[i] = 0.0
+            rc_t[i] = 0.5
+        else:
+            r0 = (lam[i - 2] - lam[i - 1]) / hp
+            A = np.array([[r0, 1.0], [r0 * r0, 1.0]])
+            b = np.array([p2 / bhp, 2.0 * p3 / bhp])
+            sol = np.linalg.solve(A, b)
+            rc0[i] = sol[0] / r0  # applied to (m_{i-2} - m_{i-1}) / 1
+            rc_t[i] = sol[1]
+    # note: D1s entries are (m_prev2 - m_prev)/r0; fold the 1/r0 into rc0
+    # above so the scan only forms raw differences.
+
+    first = np.zeros(n, bool)
+    first[0] = True
+    second = np.zeros(n, bool)
+    if n > 1:
+        second[1] = True
+    ratio = np.where(final, 0.0, sig_next / sig)
+    em = np.where(final, -1.0, h_phi_1)
+
+    xs = (
+        _f32(sig),
+        _f32(ratio),
+        _f32(em),
+        _f32(np.where(final | first, 0.0, rho_p)),
+        _f32(np.where(final, 0.0, b_h)),
+        jnp.asarray(first),
+        _f32(rc0), _f32(rc_t), _f32(ratio_c), _f32(em_c), _f32(bh_c),
+    )
+
+    def body(carry, s):
+        x_t, x_prev, m_prev, m_prev2 = carry
+        (sigma, ratio, em, rho_p, b_h, is_first,
+         rc0, rc_t, ratio_c, em_c, bh_c) = s
+        m_i = denoise(x_t, sigma)
+        # corrector on the current sample (uses previous transition)
+        d1_t = m_i - m_prev
+        d1s = m_prev2 - m_prev
+        corr = ratio_c * x_prev - em_c * m_prev - bh_c * (
+            rc0 * d1s + rc_t * d1_t
+        )
+        x_c = jnp.where(is_first, x_t, corr)
+        # predictor for the next sample
+        d1_p = m_prev - m_i  # divided by r0 via rho_p folding? no:
+        x_next = ratio * x_c - em * m_i - b_h * rho_p * jnp.where(
+            is_first, jnp.zeros_like(m_i), d1_p
+        )
+        return (x_next, x_c, m_i, m_prev), x_next
+
+    init = (x, x, jnp.zeros_like(x), jnp.zeros_like(x))
+    (x_fin, _, _, _), hist = jax.lax.scan(body, init, xs)
+    return (x_fin, hist) if return_history else x_fin
+
+
+def sample_deis(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                return_history=False, noise=None, order=3, **_):
+    """DEIS (rho-parameterized exponential integrator): Adams-Bashforth
+    multistep on the eps prediction over sigma — exact polynomial
+    integration of extrapolated eps ('DEIS' in the reference UI)."""
+    n = len(sigmas) - 1
+    coeffs = _lms_coeffs(sigmas, order)  # exact AB coefficients in sigma
+    xs = (_f32(sigmas[:-1]), _f32(coeffs))
+    d_hist = jnp.zeros((order,) + x.shape, x.dtype)
+
+    def body(carry, s):
+        x, d_hist = carry
+        sigma, cs = s
+        denoised = denoise(x, sigma)
+        eps = (x - denoised) / sigma
+        d_hist = jnp.concatenate([eps[None], d_hist[:-1]], axis=0)
+        x = x + jnp.einsum("o,o...->...", cs, d_hist)
+        return (x, d_hist), x
+
+    (x, _), hist = jax.lax.scan(body, (x, d_hist), xs)
+    return (x, hist) if return_history else x
+
+
+SOLVERS["unipc_bh1"] = (sample_unipc, 0, {"solver_type": "bh1"})
+SOLVERS["unipc_bh2"] = (sample_unipc, 0, {"solver_type": "bh2"})
+SOLVERS["deis"] = (sample_deis, 0, {})

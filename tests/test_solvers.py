@@ -199,3 +199,36 @@ def test_dpm_fast_adaptive_converge(name):
     eps0 = (x - x0) / sigmas[0]
     want = x0 + sigmas[-2] * eps0
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["unipc_bh1", "unipc_bh2", "deis"])
+def test_unipc_deis_converge(name):
+    fn, draws, defaults = solvers.SOLVERS[name]
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 2), jnp.float32)
+    sigmas = schedules.get_sigmas(CFG, 12, "karras")
+    x = x0 + sigmas[0] * jnp.asarray(
+        np.random.RandomState(1).randn(*x0.shape), jnp.float32
+    )
+    opts = {k: v for k, v in defaults.items()}
+    out = fn(perfect_denoiser(x0), x, sigmas, **opts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_unipc_beats_euler_accuracy():
+    """On a sigma-dependent denoiser, UniPC-2 should be closer to a
+    fine-grained reference solution than Euler at equal step count."""
+
+    def denoise(x, sigma):
+        return x * sigma / (sigma + 1.0) * 0.3
+
+    sig_fine = schedules.get_sigmas(CFG, 200, "karras")
+    x_init = jnp.asarray(
+        np.random.RandomState(0).randn(1, 2, 2, 1), jnp.float32
+    )
+    ref = solvers.sample_euler(denoise, x_init, sig_fine)
+    sig = schedules.get_sigmas(CFG, 10, "karras")
+    e = solvers.sample_euler(denoise, x_init, sig)
+    u = solvers.sample_unipc(denoise, x_init, sig)
+    err_e = float(jnp.abs(e - ref).max())
+    err_u = float(jnp.abs(u - ref).max())
+    assert err_u < err_e
