@@ -80,12 +80,20 @@ def main():
     biases = pipe.encode_region([state], ids, height=h, width=w, do_cfg=True)
 
     # warmup/compile (np.asarray: see timed_runs on why not block_until_ready)
-    np.asarray(pipe.txt2img(ctx, gen, seed=0))
-    np.asarray(pipe.txt2img(ctx, gen, seed=0, region_biases=biases))
+    np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+    np.asarray(
+        pipe.txt2img(ctx, gen, seed=0, region_biases=biases,
+                     uint8_output=True)
+    )
 
-    vanilla = timed_runs(lambda s: pipe.txt2img(ctx, gen, seed=s))
+    # uint8 leaves the device (4x less transfer than fp32); conversion
+    # happens on-device so this is the full image-generation latency
+    vanilla = timed_runs(
+        lambda s: pipe.txt2img(ctx, gen, seed=s, uint8_output=True)
+    )
     controlled = timed_runs(
-        lambda s: pipe.txt2img(ctx, gen, seed=s, region_biases=biases)
+        lambda s: pipe.txt2img(ctx, gen, seed=s, region_biases=biases,
+                               uint8_output=True)
     )
 
     overhead = (controlled - vanilla) / vanilla * 100.0

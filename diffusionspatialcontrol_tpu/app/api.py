@@ -258,6 +258,7 @@ def inference(
                 context, gen, seed=seed, region_biases=region_biases,
                 batch_size=batch, extras=extras, hires=hires,
                 return_history=latent_preview and hires is None,
+                uint8_output=not latent_preview and hires is None,
             )
             out = res
         previews = None

@@ -30,12 +30,12 @@ from .api import ModelManager, inference
 
 
 def _encode_images(images: np.ndarray):
-    out = []
-    for img in images:
-        buf = io.BytesIO()
-        np.save(buf, img)
-        out.append(base64.b64encode(buf.getvalue()).decode())
-    return out
+    """base64 PNG per image (native C++ encoder when available)."""
+    from ..runtime import native
+
+    return [
+        base64.b64encode(native.encode_png(img)).decode() for img in images
+    ]
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -59,16 +59,29 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     b, h, l, d = q.shape
     s_len = k.shape[2]
-    if s_len > 16384:  # VMEM budget guard
+    scale = d**-0.5
+    d_pad = _round_up(d, 128)
+    s_pad = _round_up(s_len, 128)
+
+    # Fit the per-program working set (fp32 logits tile + bf16 K/V + q/out)
+    # in a conservative VMEM budget; shrink the query tile as S grows.
+    vmem_budget = 12 * 2**20
+    kv_bytes = 2 * s_pad * d_pad * 2
+    block_l = 512
+    while block_l > 128:
+        logits_bytes = block_l * s_pad * 4
+        io_bytes = block_l * d_pad * 8
+        if kv_bytes + logits_bytes + io_bytes <= vmem_budget:
+            break
+        block_l //= 2
+    if kv_bytes + block_l * s_pad * 4 + block_l * d_pad * 8 > vmem_budget:
+        # K/V alone too large for single-pass: fall back to XLA's fused path
         out = jax.nn.dot_product_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
         )
         return out.transpose(0, 2, 1, 3)
-    scale = d**-0.5
-    block_l = min(256, _round_up(l, 128))
-    d_pad = _round_up(d, 128)
-    s_pad = _round_up(s_len, 128)
+    block_l = min(block_l, _round_up(l, 128))
     l_pad = _round_up(l, block_l)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, l_pad - l), (0, d_pad - d)))

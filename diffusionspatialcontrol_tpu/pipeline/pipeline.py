@@ -264,6 +264,7 @@ def make_denoise_fn(
         "decode",
         "compute_dtype",
         "return_history",
+        "uint8_output",
     ),
 )
 def _sample_core(
@@ -284,6 +285,7 @@ def _sample_core(
     decode: bool,
     compute_dtype=jnp.bfloat16,
     return_history: bool = False,
+    uint8_output: bool = False,
 ):
     sigmas = np.asarray(sigmas_key, np.float64)
     table = schedules.ddpm_sigma_table(model_cfg)
@@ -301,6 +303,12 @@ def _sample_core(
     x, hist = res if return_history else (res, None)
     if decode:
         x = vae_decode(params["vae"], model_cfg.vae, x)
+        if uint8_output:
+            # device-side uint8 conversion: 4x less host transfer (the
+            # device->host link dominates serving latency)
+            x = jnp.round(
+                jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
     return (x, hist) if return_history else x
 
 
@@ -508,7 +516,7 @@ class StableDiffusionTPU:
         return opts
 
     def _run(self, latents, context, region_biases, sigmas, gen, noise,
-             extras, decode, return_history=False):
+             extras, decode, return_history=False, uint8_output=False):
         return _sample_core(
             self.params, latents, context, region_biases, noise,
             extras,
@@ -523,6 +531,7 @@ class StableDiffusionTPU:
             decode=decode,
             compute_dtype=gen.dtype,
             return_history=return_history,
+            uint8_output=uint8_output,
         )
 
     def txt2img(
@@ -537,6 +546,7 @@ class StableDiffusionTPU:
         extras: Optional[DenoiseExtras] = None,
         hires: Optional[dict] = None,
         return_history: bool = False,
+        uint8_output: bool = False,
     ):
         """Core txt2img on pre-encoded context. Returns decoded images
         (B, H, W, 3) fp32 in [-1, 1] (or raw latents with decode=False).
@@ -573,7 +583,8 @@ class StableDiffusionTPU:
         noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
         out = self._run(latents, context, region_biases, sigmas, gen, noise,
                         extras, decode=decode and hires is None,
-                        return_history=return_history and hires is None)
+                        return_history=return_history and hires is None,
+                        uint8_output=uint8_output and hires is None)
         if hires is None:
             return out
 
@@ -728,5 +739,8 @@ class StableDiffusionTPU:
 
     @staticmethod
     def to_uint8(images: jnp.ndarray) -> np.ndarray:
-        arr = np.asarray(jnp.clip(images * 0.5 + 0.5, 0.0, 1.0))
-        return (arr * 255).round().astype(np.uint8)
+        if images.dtype == jnp.uint8 or images.dtype == np.uint8:
+            return np.asarray(images)
+        from ..runtime import native
+
+        return native.tensor_to_u8(np.asarray(images))

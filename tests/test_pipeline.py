@@ -144,3 +144,15 @@ def test_generate_grid(pipe):
     np.testing.assert_allclose(
         np.asarray(out[4]), np.asarray(solo[0]), atol=1e-4
     )
+
+
+def test_uint8_output(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    img_f = pipe.txt2img(ctx, GEN, seed=5)
+    img_u8 = pipe.txt2img(ctx, GEN, seed=5, uint8_output=True)
+    assert img_u8.dtype == jnp.uint8
+    want = pipe.to_uint8(img_f)
+    diff = np.abs(
+        np.asarray(img_u8, np.int32) - want.astype(np.int32)
+    )
+    assert diff.max() <= 1  # rounding-mode differences only
