@@ -235,6 +235,10 @@ def inference(
             "antialias": antialias,
             "steps": hires_steps,
         }
+        if region_state:
+            hires["region_state"] = (
+                [region_state], ids, num_images_per_prompt
+            )
 
     batch = num_images_per_prompt
     with timer.phase("sample"):

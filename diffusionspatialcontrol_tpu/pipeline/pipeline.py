@@ -602,19 +602,24 @@ class StableDiffusionTPU:
             num_inference_steps=hires.get("steps")
             or gen.num_inference_steps,
         )
+        # Region biases are resolution-keyed; the hires pass needs them
+        # re-encoded at the target size (the reference re-encodes inside
+        # its recursive img2img from the raw state,
+        # model_k_diffusion.py:1050). Callers pass hires["region_state"]
+        # (raw state dicts + prompt ids) to enable that here.
+        hr_biases = None
+        if hires.get("region_state") is not None:
+            states, ids, nipp = hires["region_state"]
+            hr_biases = self.encode_region(
+                states, ids, height=gen_hr.height, width=gen_hr.width,
+                num_images_per_prompt=nipp,
+            )
         return self.img2img(
             context, up, gen_hr,
             strength=float(hires.get("strength", 0.6)),
-            seed=seed + 1, region_biases=None if region_biases is None
-            else self._rescale_region(region_biases, gen_hr),
+            seed=seed + 1, region_biases=hr_biases,
             decode=decode, extras=extras,
         )
-
-    def _rescale_region(self, region_biases, gen_hr):
-        # Region biases are resolution-keyed; for hires the caller should
-        # re-encode at the new resolution. Fallback: drop them (the
-        # reference also re-encodes inside img2img from raw state).
-        return None
 
     def img2img(
         self,

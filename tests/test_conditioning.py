@@ -158,3 +158,23 @@ def test_upscale_mode_parsing():
     assert parse_upscale_mode("Latent (nearest-exact)") == (
         "nearest-exact", False
     )
+
+
+def test_hires_with_region_reencode(pipe):
+    ctx, ids = pipe.encode_prompt(["a red cat"], [""])
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.0}}
+    biases = pipe.encode_region([state], ids, height=64, width=64)
+    out = pipe.txt2img(
+        ctx, GEN, seed=0, region_biases=biases,
+        hires={"scale": 2.0, "strength": 0.5,
+               "region_state": ([state], ids, 1)},
+    )
+    assert out.shape == (1, 128, 128, 3)
+    # with region at hires vs without -> different results
+    out2 = pipe.txt2img(
+        ctx, GEN, seed=0, region_biases=biases,
+        hires={"scale": 2.0, "strength": 0.5},
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
