@@ -30,6 +30,47 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _stream_kernel(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref, *,
+                   scale: float, s_valid: int, block_s: int):
+    """Online-softmax flash attention: grid (BH, L/bl, S/bs); running
+    max/denominator/accumulator in VMEM scratch persist across the
+    innermost (KV) grid dimension."""
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+    s = jnp.where(col < s_valid, s, -1e30)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -75,12 +116,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             break
         block_l //= 2
     if kv_bytes + block_l * s_pad * 4 + block_l * d_pad * 8 > vmem_budget:
-        # K/V alone too large for single-pass: fall back to XLA's fused path
-        out = jax.nn.dot_product_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-        )
-        return out.transpose(0, 2, 1, 3)
+        # K/V too large for the single-pass kernel: stream KV chunks with
+        # an online softmax (flash proper) — the only path that works at
+        # e.g. 1920x1088 latents (L = 32640, full logits would be 68 GB).
+        return _flash_streaming(q, k, v, scale, d_pad, interpret)
     block_l = min(block_l, _round_up(l, 128))
     l_pad = _round_up(l, block_l)
 
@@ -105,6 +144,52 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, block_l, d_pad), lambda i, j: (i, j, 0),
                                **_MEMSPACE),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, l_pad, d_pad)[:, :, :l, :d]
+
+
+def _flash_streaming(q, k, v, scale, d_pad, interpret,
+                     block_l: int = 256, block_s: int = 1024):
+    b, h, l, d = q.shape
+    s_len = k.shape[2]
+    l_pad = _round_up(l, block_l)
+    s_pad = _round_up(s_len, block_s)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, l_pad - l), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s_len), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s_len), (0, d_pad - d)))
+    qp = qp.reshape(b * h, l_pad, d_pad)
+    kp = kp.reshape(b * h, s_pad, d_pad)
+    vp = vp.reshape(b * h, s_pad, d_pad)
+
+    scratch = [
+        pltpu.VMEM((block_l, 1), jnp.float32),
+        pltpu.VMEM((block_l, 1), jnp.float32),
+        pltpu.VMEM((block_l, d_pad), jnp.float32),
+    ] if pltpu is not None else [
+        # interpret mode accepts plain shapes via pltpu-less fallback
+        jax.ShapeDtypeStruct((block_l, 1), jnp.float32),
+        jax.ShapeDtypeStruct((block_l, 1), jnp.float32),
+        jax.ShapeDtypeStruct((block_l, d_pad), jnp.float32),
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale, s_valid=s_len,
+                          block_s=block_s),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
+        grid=(b * h, l_pad // block_l, s_pad // block_s),
+        in_specs=[
+            pl.BlockSpec((1, block_l, d_pad), lambda i, li, j: (i, li, 0),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, block_s, d_pad), lambda i, li, j: (i, j, 0),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, block_s, d_pad), lambda i, li, j: (i, j, 0),
+                         **_MEMSPACE),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, d_pad),
+                               lambda i, li, j: (i, li, 0), **_MEMSPACE),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, l_pad, d_pad)[:, :, :l, :d]

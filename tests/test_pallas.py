@@ -92,3 +92,17 @@ def test_unet_pallas_attn_impl_matches_xla():
     b = unet_apply(params, TINY.unet, x, t, cond, attn_impl="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                atol=5e-4)
+
+
+def test_streaming_flash_matches_reference():
+    """Large-S path (online softmax over KV chunks) vs materialized ref."""
+    from diffusionspatialcontrol_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.RandomState(5)
+    B, H, L, D = 1, 2, 300, 24
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+    ref = attn_ops.attention_reference(q, q, q)
+    got = fa._flash_streaming(q, q, q, D**-0.5, 128, interpret=True,
+                              block_l=128, block_s=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
