@@ -14,7 +14,7 @@ clip-skip, encoding mode, latent preview, timeout watchdog.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -214,8 +214,6 @@ def inference(
                 "weights; use pipe.build_t2i_extras directly"
             )
         if ip_adapter_units:
-            from ..models.ip_adapter import LoadedIPAdapter
-
             raise NotImplementedError(
                 "IP-Adapter units via inference() require converted "
                 "adapter weights; use models.ip_adapter.load_ip_adapter + "

@@ -12,7 +12,7 @@ CFG 7.5, clip-skip 2, 512x512, DPM++ 2M Karras, 25 steps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ Layout transforms: torch conv (O, I, kh, kw) -> HWIO; torch linear
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ table').
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,14 +18,14 @@ follows that order into our tree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import UNetConfig
-from .layers import layer_norm, linear, linear_init, norm_init
+from .layers import layer_norm, linear
 
 
 # ---------------------------------------------------------------------------

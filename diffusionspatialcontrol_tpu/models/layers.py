@@ -8,8 +8,6 @@ accumulation on the MXU via ``preferred_element_type``.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -23,7 +23,7 @@ control flow.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from ..config import UNetConfig
 from ..ops import attention as attn_ops
 from .layers import (
-    ACTIVATIONS,
     conv2d,
     conv_init,
     group_norm,

@@ -18,7 +18,6 @@ over heads exactly like the reference's repeat_interleave
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

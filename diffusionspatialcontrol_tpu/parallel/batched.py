@@ -8,10 +8,9 @@ derives only from its own seed (samplers/brownian.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import GenerationConfig

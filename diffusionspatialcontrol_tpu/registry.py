@@ -10,7 +10,7 @@ maps (app.py:86-110), IP-Adapter variants (app.py:75-85), encoding modes
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 
 @dataclasses.dataclass(frozen=True)

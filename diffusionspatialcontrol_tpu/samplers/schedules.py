@@ -14,8 +14,6 @@ retraced work. Semantics match k-diffusion as driven by the reference:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..config import ModelConfig

@@ -24,7 +24,7 @@ the whole loop is one compiled program with no host sync per step.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

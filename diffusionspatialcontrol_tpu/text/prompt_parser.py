@@ -20,9 +20,8 @@ n-gram matcher exactly as the reference's returned id arrays do.
 
 from __future__ import annotations
 
-import math
 import re
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
