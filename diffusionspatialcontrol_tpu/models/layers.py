@@ -96,8 +96,11 @@ def norm_init(num_channels: int, dtype=jnp.bfloat16):
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     """GroupNorm over the channel (last) axis of NHWC / NLC tensors.
 
-    Statistics in float32 (the reference relies on torch GroupNorm which also
-    accumulates in fp32 under autocast)."""
+    Entirely in float32 (the reference relies on torch GroupNorm which also
+    accumulates in fp32 under autocast). Measured: applying the
+    normalization in bf16 with fp32 stats is ~7% SLOWER end-to-end — XLA
+    fuses the uniform-fp32 chain into neighboring ops better than the
+    mixed-dtype variant — so keep this fp32 throughout."""
     orig_dtype = x.dtype
     c = x.shape[-1]
     xf = x.astype(jnp.float32)
