@@ -53,6 +53,7 @@ def _table() -> Dict[str, SamplerSpec]:
         "DEIS": SamplerSpec("deis"),
         "UniPC Time Uniform 1": SamplerSpec("unipc_bh1"),
         "UniPC Time Uniform 2": SamplerSpec("unipc_bh2"),
+        "SA-Solver": SamplerSpec("sa_solver", brownian_noise=True),
     }
     out: Dict[str, SamplerSpec] = {}
     schedule_suffix = {

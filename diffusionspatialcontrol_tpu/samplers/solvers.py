@@ -985,3 +985,125 @@ def sample_deis(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
 SOLVERS["unipc_bh1"] = (sample_unipc, 0, {"solver_type": "bh1"})
 SOLVERS["unipc_bh2"] = (sample_unipc, 0, {"solver_type": "bh2"})
 SOLVERS["deis"] = (sample_deis, 0, {})
+
+
+# ---------------------------------------------------------------------------
+# SA-Solver (stochastic Adams predictor-corrector; 'SA-Solver' in the
+# reference's diffusers registry, source/app.py:243)
+# ---------------------------------------------------------------------------
+
+
+def _sa_coeffs(lams_pts, lam_s, lam_t, c):
+    """b_i = c * e^{-c lam_t} * Int_{lam_s}^{lam_t} e^{c lam} l_i(lam) dlam
+    for the Lagrange basis l_i on points lams_pts — the exact exponential-
+    integrator weights of the data-prediction ODE dx/dlam + c x = c D.
+    Gauss-Legendre quadrature (exact to fp precision for these smooth
+    integrands); all static host-side."""
+    nodes, weights = np.polynomial.legendre.leggauss(32)
+    mid = 0.5 * (lam_s + lam_t)
+    half = 0.5 * (lam_t - lam_s)
+    xs = mid + half * nodes
+    out = []
+    for i, li in enumerate(lams_pts):
+        l_vals = np.ones_like(xs)
+        for j, lj in enumerate(lams_pts):
+            if j == i:
+                continue
+            l_vals *= (xs - lj) / (li - lj)
+        integ = half * np.sum(weights * np.exp(c * (xs - lam_t)) * l_vals)
+        out.append(c * integ)
+    return out
+
+
+def sample_sa_solver(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
+                     return_history=False, noise=None, tau_t_range=(0.2, 0.8),
+                     tau_value=1.0, s_noise=1.0, **_):
+    """SA-Solver, predictor order 2 + corrector order 2, data prediction.
+
+    tau(t) follows the paper/diffusers default: stochasticity tau_value for
+    normalized train-timesteps inside ``tau_t_range``, 0 elsewhere (the
+    deterministic limit reduces exactly to the exponential-integrator Adams
+    method; verified to 1st order against DPM++). noise: (n_steps, *x)."""
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    final = sig_next == 0
+    with np.errstate(divide="ignore"):
+        lam = -np.log(np.maximum(sig, 1e-20))
+        lam_next = -np.log(np.maximum(sig_next, 1e-20))
+    # tau per transition, by the *source* sigma's normalized train timestep
+    from ..config import ModelConfig
+    from .schedules import ddpm_sigma_table, sigma_to_t
+
+    table = ddpm_sigma_table(ModelConfig())
+    t_norm = np.array([sigma_to_t(s, table) / len(table) for s in sig])
+    taus = np.where(
+        (t_norm >= tau_t_range[0]) & (t_norm <= tau_t_range[1]),
+        tau_value, 0.0,
+    )
+
+    # predictor coefficients for transition i -> i+1 using points
+    # {lam_{i-1}, lam_i} (order 1 on the first step)
+    dec_p = np.zeros(n)
+    bp_prev = np.zeros(n)  # weight of D_{i-1}
+    bp_cur = np.zeros(n)  # weight of D_i
+    nstd_p = np.zeros(n)
+    # corrector coefficients for transition i-1 -> i using points
+    # {lam_{i-1}, lam_i} with (D_{i-1}, m_i)
+    dec_c = np.zeros(n)
+    bc_prev = np.zeros(n)
+    bc_cur = np.zeros(n)
+    for i in range(n):
+        if final[i]:
+            continue
+        c = 1.0 + taus[i] ** 2
+        h = lam_next[i] - lam[i]
+        dec_p[i] = np.exp(-c * h)
+        if i == 0:
+            (bp_cur[i],) = _sa_coeffs([lam[i]], lam[i], lam_next[i], c)
+        else:
+            bp_prev[i], bp_cur[i] = _sa_coeffs(
+                [lam[i - 1], lam[i]], lam[i], lam_next[i], c
+            )
+        nstd_p[i] = sig_next[i] * np.sqrt(
+            max(-np.expm1(-2.0 * taus[i] ** 2 * h), 0.0)
+        )
+        if i >= 1:
+            cc = 1.0 + taus[i - 1] ** 2
+            dec_c[i] = np.exp(-cc * (lam[i] - lam[i - 1]))
+            bc_prev[i], bc_cur[i] = _sa_coeffs(
+                [lam[i - 1], lam[i]], lam[i - 1], lam[i], cc
+            )
+
+    first = np.zeros(n, bool)
+    first[0] = True
+    nz = _default_noise(noise, n, x)
+    xs = (
+        _f32(sig),
+        _f32(np.where(final, 0.0, dec_p)),
+        _f32(bp_prev), _f32(np.where(final, 1.0, bp_cur)),
+        _f32(nstd_p),
+        _f32(dec_c), _f32(bc_prev), _f32(bc_cur),
+        jnp.asarray(first), jnp.asarray(final),
+        nz[:, 0],
+    )
+
+    def body(carry, s):
+        x_t, x_prev, m_prev = carry
+        (sigma, dec_p, bp_prev, bp_cur, nstd, dec_c, bc_prev, bc_cur,
+         is_first, is_final, z) = s
+        m_i = denoise(x_t, sigma)
+        # corrector (Adams-Moulton over the previous transition)
+        corr = dec_c * x_prev + bc_prev * m_prev + bc_cur * m_i
+        x_c = jnp.where(is_first, x_t, corr)
+        # predictor (Adams-Bashforth) + stochastic term
+        x_next = dec_p * x_c + bp_prev * m_prev + bp_cur * m_i
+        x_next = jnp.where(is_final, bp_cur * m_i, x_next)
+        x_next = x_next + z * (s_noise * nstd)
+        return (x_next, x_c, m_i), x_next
+
+    init = (x, x, jnp.zeros_like(x))
+    (x_fin, _, _), hist = jax.lax.scan(body, init, xs)
+    return (x_fin, hist) if return_history else x_fin
+
+
+SOLVERS["sa_solver"] = (sample_sa_solver, 1, {})

@@ -232,3 +232,38 @@ def test_unipc_beats_euler_accuracy():
     err_e = float(jnp.abs(e - ref).max())
     err_u = float(jnp.abs(u - ref).max())
     assert err_u < err_e
+
+
+def test_sa_solver_converges_and_is_stochastic():
+    fn, draws, _ = solvers.SOLVERS["sa_solver"]
+    assert draws == 1
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 2), jnp.float32)
+    sigmas = schedules.get_sigmas(CFG, 12, "karras")
+    x = x0 + sigmas[0] * jnp.asarray(
+        np.random.RandomState(1).randn(*x0.shape), jnp.float32
+    )
+    out = fn(perfect_denoiser(x0), x, sigmas,
+             noise=jnp.zeros((len(sigmas) - 1,) + x0.shape))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+    z = jnp.asarray(
+        np.random.RandomState(2).randn(len(sigmas) - 1, *x.shape),
+        jnp.float32,
+    )
+    o1 = fn(perfect_denoiser(x0), x, sigmas, noise=z)
+    assert np.all(np.isfinite(np.asarray(o1)))
+
+
+def test_sa_solver_tau0_beats_dpmpp2m():
+    def denoise(x, sigma):
+        return x * sigma / (sigma + 1.0) * 0.3
+
+    x_init = jnp.asarray(
+        np.random.RandomState(0).randn(1, 2, 2, 1), jnp.float32
+    )
+    ref = solvers.sample_euler(
+        denoise, x_init, schedules.get_sigmas(CFG, 400, "karras")
+    )
+    sig = schedules.get_sigmas(CFG, 10, "karras")
+    sa = solvers.sample_sa_solver(denoise, x_init, sig, tau_value=0.0)
+    m2 = solvers.sample_dpmpp_2m(denoise, x_init, sig)
+    assert float(jnp.abs(sa - ref).max()) < float(jnp.abs(m2 - ref).max())
