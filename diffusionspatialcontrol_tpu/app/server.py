@@ -132,6 +132,6 @@ def launch_gradio(manager: ModelManager, **kwargs):  # pragma: no cover
             "gradio is not installed; use app.server.serve (JSON HTTP) "
             "instead"
         ) from e
-    raise NotImplementedError(
-        "gradio UI pending; the JSON server covers the API surface"
-    )
+    from .gradio_ui import launch
+
+    return launch(manager, **kwargs)

@@ -153,3 +153,31 @@ def test_fused_region_attention_matches_reference_impl():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_multi_prompt_region_states_aligned_layout():
+    """Two prompts with different region states: batch layout must be
+    [u0, u1, c0, c1] aligned with the context (reference bug fixed — see
+    DIVERGENCES.md item 1)."""
+    H = W = 64
+    m0 = np.zeros((H, W), np.float32)
+    m0[:, :32] = 1.0
+    m1 = np.zeros((H, W), np.float32)
+    m1[:32, :] = 1.0
+    s0 = {"cat": {"mask": m0, "weight": 1.0, "mask_outsides": 0.0}}
+    s1 = {"dog": {"mask": m1, "weight": 0.5, "mask_outsides": 0.2}}
+
+    toks = {"cat": [7], "dog": [9]}
+    ids = [[1, 7, 2, 0], [1, 9, 2, 0]]
+    biases = region_map.encode_region_state(
+        [s0, s1], ids, lambda p: toks[p], height=H, width=W, do_cfg=True
+    )
+    b0 = np.asarray(biases[0])  # (4, 64, 4): [u0, u1, c0, c1]
+    assert b0.shape == (4, 64, 4)
+    # cond rows equal their uncond rows (ids quirk), and prompt 0 != prompt 1
+    np.testing.assert_array_equal(b0[0], b0[2])
+    np.testing.assert_array_equal(b0[1], b0[3])
+    assert not np.array_equal(b0[2], b0[3])
+    # prompt 0's bias lives on token column 1 (the 'cat' position)
+    assert np.abs(b0[2][:, 1]).max() > 0
+    assert np.abs(b0[2][:, 3]).max() == 0
