@@ -233,3 +233,105 @@ def test_orbax_param_cache(tmp_path):
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_pipeline_params_from_disk(tmp_path):
+    """End-to-end checkpoint-directory load: write a synthetic diffusers
+    layout (safetensors) and load through convert.hf.load_pipeline_params /
+    ModelManager."""
+    from safetensors.numpy import save_file
+
+    from diffusionspatialcontrol_tpu.models.vae import vae_init
+
+    unet_params = unet_init(jax.random.PRNGKey(0), TINY.unet, jnp.float32)
+    sd_unet = _unet_state_dict(unet_params, TINY.unet)
+
+    # vae state dict via existing inverse helpers
+    vae_params = vae_init(jax.random.PRNGKey(1), TINY.vae, jnp.float32)
+    dst_vae = {}
+    enc, dec = vae_params["encoder"], vae_params["decoder"]
+    _inv_conv(dst_vae, "encoder.conv_in", enc["conv_in"])
+    for i, block in enumerate(enc["down_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(dst_vae, f"encoder.down_blocks.{i}.resnets.{j}", r)
+        if "downsample" in block:
+            _inv_conv(dst_vae,
+                      f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                      block["downsample"])
+    for k, name in (("resnet1", "resnets.0"), ("resnet2", "resnets.1")):
+        _inv_resnet(dst_vae, f"encoder.mid_block.{name}", enc["mid"][k])
+    a = enc["mid"]["attention"]
+    _inv_norm(dst_vae, "encoder.mid_block.attentions.0.group_norm",
+              a["group_norm"])
+    _inv_attn(dst_vae, "encoder.mid_block.attentions.0", a)
+    _inv_norm(dst_vae, "encoder.conv_norm_out", enc["conv_norm_out"])
+    _inv_conv(dst_vae, "encoder.conv_out", enc["conv_out"])
+    _inv_conv(dst_vae, "quant_conv", enc["quant_conv"])
+    _inv_conv(dst_vae, "post_quant_conv", dec["post_quant_conv"])
+    _inv_conv(dst_vae, "decoder.conv_in", dec["conv_in"])
+    for k, name in (("resnet1", "resnets.0"), ("resnet2", "resnets.1")):
+        _inv_resnet(dst_vae, f"decoder.mid_block.{name}", dec["mid"][k])
+    a = dec["mid"]["attention"]
+    _inv_norm(dst_vae, "decoder.mid_block.attentions.0.group_norm",
+              a["group_norm"])
+    _inv_attn(dst_vae, "decoder.mid_block.attentions.0", a)
+    for i, block in enumerate(dec["up_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(dst_vae, f"decoder.up_blocks.{i}.resnets.{j}", r)
+        if "upsample" in block:
+            _inv_conv(dst_vae, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                      block["upsample"])
+    _inv_norm(dst_vae, "decoder.conv_norm_out", dec["conv_norm_out"])
+    _inv_conv(dst_vae, "decoder.conv_out", dec["conv_out"])
+
+    clip_params = clip_init(jax.random.PRNGKey(2), TINY.clip, jnp.float32)
+    dst_clip = {
+        "text_model.embeddings.token_embedding.weight": np.asarray(
+            clip_params["token_embedding"], np.float32
+        ),
+        "text_model.embeddings.position_embedding.weight": np.asarray(
+            clip_params["position_embedding"], np.float32
+        ),
+    }
+    _inv_norm(dst_clip, "text_model.final_layer_norm",
+              clip_params["final_layer_norm"])
+    for i, layer in enumerate(clip_params["layers"]):
+        lp = f"text_model.encoder.layers.{i}"
+        _inv_norm(dst_clip, f"{lp}.layer_norm1", layer["layer_norm1"])
+        _inv_linear(dst_clip, f"{lp}.self_attn.q_proj", layer["q_proj"])
+        _inv_linear(dst_clip, f"{lp}.self_attn.k_proj", layer["k_proj"])
+        _inv_linear(dst_clip, f"{lp}.self_attn.v_proj", layer["v_proj"])
+        _inv_linear(dst_clip, f"{lp}.self_attn.out_proj",
+                    layer["out_proj"])
+        _inv_norm(dst_clip, f"{lp}.layer_norm2", layer["layer_norm2"])
+        _inv_linear(dst_clip, f"{lp}.mlp.fc1", layer["fc1"])
+        _inv_linear(dst_clip, f"{lp}.mlp.fc2", layer["fc2"])
+
+    root = tmp_path / "ckpt"
+    for sub, dstd in (("unet", sd_unet), ("vae", dst_vae),
+                      ("text_encoder", dst_clip)):
+        (root / sub).mkdir(parents=True)
+        fname = ("model.safetensors" if sub == "text_encoder"
+                 else "diffusion_pytorch_model.safetensors")
+        save_file({k: np.ascontiguousarray(v) for k, v in dstd.items()},
+                  str(root / sub / fname))
+
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    m = ModelManager(dtype=jnp.float32)
+    m.register("disk-tiny", str(root), TINY)
+    cfg, params, tok = m.get("disk-tiny")
+    _trees_equal(params["unet"], unet_params)
+    _trees_equal(params["vae"], vae_params)
+    # clip has 64 extra-token pad rows
+    assert (
+        params["clip"]["token_embedding"].shape[0]
+        == TINY.clip.vocab_size + 64
+    )
+    # and it generates
+    from diffusionspatialcontrol_tpu.app.api import inference
+
+    out = inference(m, prompt="a cat", model="disk-tiny", sampler="Euler",
+                    steps=2, width=64, height=64, encoding_mode="short",
+                    dtype=jnp.float32)
+    assert out["images"].shape == (1, 64, 64, 3)
