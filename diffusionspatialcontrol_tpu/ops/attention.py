@@ -173,3 +173,48 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray,
         )
         logits = logits + w[:, None, :, :]
     return jax.nn.softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# BTNH-layout entry points ((B, L, H, D) — the natural layout after the
+# projection reshape, avoiding the BHLD transpose round trips that showed
+# up as ~2.4 ms/step of pure data formatting in profiles)
+# ---------------------------------------------------------------------------
+
+
+def attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: Optional[float] = None) -> jnp.ndarray:
+    """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D)."""
+    return jax.nn.dot_product_attention(q, k, v, scale=scale)
+
+
+def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray,
+                         scale: float) -> jnp.ndarray:
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    n = q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
+    q_sum = qf.sum(axis=1)  # (B, H, D)
+    k_sum = kf.sum(axis=1)
+    total = jnp.einsum("bhd,bhd->", q_sum, k_sum) * scale
+    q_gram = jnp.einsum("blhd,blhe->bhde", qf, qf)
+    k_gram = jnp.einsum("bshd,bshe->bhde", kf, kf)
+    total_sq = jnp.einsum("bhde,bhde->", q_gram, k_gram) * (scale * scale)
+    mean = total / n
+    var = (total_sq - n * mean * mean) / (n - 1)
+    return jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def region_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          region_state: jnp.ndarray, sigma: jnp.ndarray,
+                          weight_scale: float = 1.0,
+                          scale: Optional[float] = None) -> jnp.ndarray:
+    """BTNH variant of region_attention; region_state: (B, L, S)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    std = logits_std_gram_nlhd(q, k, scale)
+    w = region_state.astype(jnp.float32) * (
+        jnp.float32(weight_scale) * sigma.astype(jnp.float32) * std
+    )
+    return jax.nn.dot_product_attention(
+        q, k, v, bias=w[:, None, :, :], scale=scale
+    )

@@ -106,3 +106,40 @@ def test_streaming_flash_matches_reference():
                               block_l=128, block_s=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_nlhd_kernels_match_bhld():
+    from diffusionspatialcontrol_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+        flash_attention_nlhd,
+    )
+    from diffusionspatialcontrol_tpu.ops.pallas.region_attention import (
+        region_attention as ra_bhld,
+        region_attention_nlhd,
+    )
+
+    rng = np.random.RandomState(9)
+    B, H, L, S, D = 2, 3, 64, 77, 40
+    q = rng.randn(B, H, L, D).astype(np.float32)
+    k = rng.randn(B, H, S, D).astype(np.float32)
+    v = rng.randn(B, H, S, D).astype(np.float32)
+    region = rng.randn(B, L, S).astype(np.float32) * 0.4
+    sigma = jnp.asarray(3.0)
+
+    a = ra_bhld(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(region), sigma)
+    b = region_attention_nlhd(
+        jnp.asarray(q).transpose(0, 2, 1, 3),
+        jnp.asarray(k).transpose(0, 2, 1, 3),
+        jnp.asarray(v).transpose(0, 2, 1, 3),
+        jnp.asarray(region), sigma,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    fa = flash_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q))
+    fb = flash_attention_nlhd(
+        jnp.asarray(q).transpose(0, 2, 1, 3),
+        jnp.asarray(q).transpose(0, 2, 1, 3),
+        jnp.asarray(q).transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-5)
