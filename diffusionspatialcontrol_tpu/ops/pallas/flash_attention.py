@@ -195,74 +195,15 @@ def _flash_streaming(q, k, v, scale, d_pad, interpret,
     return out.reshape(b, h, l_pad, d_pad)[:, :, :l, :d]
 
 
-def _kernel4(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
-    q = q_ref[0, :, 0].astype(jnp.float32)
-    k = k_ref[0, :, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    if s_valid < k.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < s_valid, s, -1e9)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0, :, 0].astype(jnp.float32)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, :, 0] = (out / denom).astype(out_ref.dtype)
-
-
 def flash_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          interpret: bool | None = None) -> jnp.ndarray:
-    """BTNH layout ((B, L, H, D)) — blocks slice the head axis directly, so
-    no BHLD transpose ever materializes."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    b, l, h, d = q.shape
-    s_len = k.shape[1]
-    scale = d**-0.5
-    d_pad = _round_up(d, 128)
-    s_pad = _round_up(s_len, 128)
-
-    vmem_budget = 12 * 2**20
-    kv_bytes = 2 * s_pad * d_pad * 2
-    block_l = 512
-    while block_l > 128:
-        if kv_bytes + block_l * s_pad * 4 + block_l * d_pad * 8 <= vmem_budget:
-            break
-        block_l //= 2
-    if kv_bytes + block_l * s_pad * 4 + block_l * d_pad * 8 > vmem_budget:
-        out = _flash_streaming(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), scale, d_pad, interpret,
-        )
-        return out.transpose(0, 2, 1, 3)
-    block_l = min(block_l, _round_up(l, 128))
-    l_pad = _round_up(l, block_l)
-
-    qp = jnp.pad(q, ((0, 0), (0, l_pad - l), (0, 0), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, s_pad - s_len), (0, 0), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, s_pad - s_len), (0, 0), (0, d_pad - d)))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel4, scale=scale, s_valid=s_len),
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, h, d_pad), q.dtype),
-        grid=(b * h, l_pad // block_l),
-        in_specs=[
-            pl.BlockSpec((1, block_l, 1, d_pad),
-                         lambda i, j: (i // h, j, i % h, 0), **_MEMSPACE),
-            pl.BlockSpec((1, s_pad, 1, d_pad),
-                         lambda i, j: (i // h, 0, i % h, 0), **_MEMSPACE),
-            pl.BlockSpec((1, s_pad, 1, d_pad),
-                         lambda i, j: (i // h, 0, i % h, 0), **_MEMSPACE),
-        ],
-        out_specs=pl.BlockSpec((1, block_l, 1, d_pad),
-                               lambda i, j: (i // h, j, i % h, 0),
-                               **_MEMSPACE),
-        interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :l, :, :d]
+    """BTNH ((B, L, H, D)) entry point. Mosaic requires the last two block
+    dims to be (8k, 128k)-aligned or full, so a head-slicing 4D BlockSpec
+    on BTNH arrays is not lowerable; transpose to BHLD here and reuse the
+    validated 3D kernel (one transpose per operand — the same count the
+    BHLD layout paid at the head-split)."""
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3)

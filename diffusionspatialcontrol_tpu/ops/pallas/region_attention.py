@@ -120,66 +120,11 @@ def region_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           region_state: jnp.ndarray, sigma: jnp.ndarray,
                           weight_scale: float = 1.0,
                           interpret: bool | None = None) -> jnp.ndarray:
-    """BTNH ((B, L, H, D)) fused region attention — head axis sliced by the
-    BlockSpec, no transposes."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    b, l, h, d = q.shape
-    s_len = k.shape[1]
-    scale = d**-0.5
-
-    std = logits_std_gram_nlhd(q, k, scale)
-    w = region_state.astype(jnp.float32) * (
-        jnp.float32(weight_scale) * sigma.astype(jnp.float32) * std
+    """BTNH entry point (see flash_attention_nlhd on why this transposes
+    rather than head-slicing with a 4D BlockSpec)."""
+    out = region_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), region_state, sigma,
+        weight_scale=weight_scale, interpret=interpret,
     )
-
-    block_l = min(512, _round_up(l, 128))
-    d_pad = _round_up(d, 128)
-    s_pad = _round_up(s_len, 128)
-    l_pad = _round_up(l, block_l)
-
-    qp = jnp.pad(q, ((0, 0), (0, l_pad - l), (0, 0), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, s_pad - s_len), (0, 0), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, s_pad - s_len), (0, 0), (0, d_pad - d)))
-    wp = jnp.pad(w, ((0, 0), (0, l_pad - l), (0, 0)))
-    wp = jnp.pad(wp, ((0, 0), (0, 0), (0, s_pad - s_len)),
-                 constant_values=-1e9)
-
-    def kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-        q_ = q_ref[0, :, 0].astype(jnp.float32)
-        k_ = k_ref[0, :, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q_, k_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale + bias_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        v_ = v_ref[0, :, 0].astype(jnp.float32)
-        out = jax.lax.dot_general(
-            p, v_, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, :, 0] = (out / denom).astype(out_ref.dtype)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, h, d_pad), q.dtype),
-        grid=(b * h, l_pad // block_l),
-        in_specs=[
-            pl.BlockSpec((1, block_l, 1, d_pad),
-                         lambda i, j: (i // h, j, i % h, 0), **_MEMSPACE),
-            pl.BlockSpec((1, s_pad, 1, d_pad),
-                         lambda i, j: (i // h, 0, i % h, 0), **_MEMSPACE),
-            pl.BlockSpec((1, s_pad, 1, d_pad),
-                         lambda i, j: (i // h, 0, i % h, 0), **_MEMSPACE),
-            pl.BlockSpec((1, block_l, s_pad),
-                         lambda i, j: (i // h, j, 0), **_MEMSPACE),
-        ],
-        out_specs=pl.BlockSpec((1, block_l, 1, d_pad),
-                               lambda i, j: (i // h, j, i % h, 0),
-                               **_MEMSPACE),
-        interpret=interpret,
-    )(qp, kp, vp, wp)
-    return out[:, :l, :, :d]
+    return out.transpose(0, 2, 1, 3)
