@@ -10,6 +10,12 @@ image, so scaling is linear in chips).
 Design notes:
   * Per-sample PRNG keys make results identical regardless of mesh shape
     (seed determinism across chip counts, SURVEY.md §4 test item e).
+  * Known multi-chip optimization (round 2): the CFG doubling
+    (concat([x, x]) against a [uncond..., cond...] context) places a
+    sample's uncond and cond halves on different devices under plain
+    batch sharding, so GSPMD inserts an all-to-all inside the scan.
+    Interleaving the pair per sample ([u0, c0, u1, c1, ...]) keeps it
+    device-local. Single-chip (the current bench target) is unaffected.
   * Params are replicated; activations sharded on batch. At SD scale
     (<1B params) tensor/pipeline parallelism would only add latency.
   * Multi-host: the same code runs under ``jax.distributed`` with a DCN+ICI
