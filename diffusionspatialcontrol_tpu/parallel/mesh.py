@@ -15,7 +15,12 @@ Design notes:
     sample's uncond and cond halves on different devices under plain
     batch sharding, so GSPMD inserts an all-to-all inside the scan.
     Interleaving the pair per sample ([u0, c0, u1, c1, ...]) keeps it
-    device-local. Single-chip (the current bench target) is unaffected.
+    device-local (done inside make_denoise_fn). Residual collectives in
+    the compiled scan are (a) the semantically required scalar
+    all-reduces of the region std (it is global over the CFG batch by
+    reference semantics) and (b) GSPMD auto-resharding choices on the
+    tiny validation shapes; full control belongs to a shard_map port of
+    the per-device sampling step (round 2).
   * Params are replicated; activations sharded on batch. At SD scale
     (<1B params) tensor/pipeline parallelism would only add latency.
   * Multi-host: the same code runs under ``jax.distributed`` with a DCN+ICI

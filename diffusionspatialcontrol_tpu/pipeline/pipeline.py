@@ -115,6 +115,22 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _interleave_cfg(a: jnp.ndarray) -> jnp.ndarray:
+    """[u0..uB, c0..cB] -> [u0, c0, u1, c1, ...].
+
+    Under batch sharding the halves layout puts a sample's uncond and cond
+    rows on different devices, which makes GSPMD insert an all-to-all in
+    the sampling scan; the interleaved layout keeps each CFG pair
+    device-local (see parallel/mesh.py). Pure relayout — per-sample model
+    outputs are batch-order invariant, so semantics are unchanged."""
+    half = a.shape[0] // 2
+    return (
+        a.reshape((2, half) + a.shape[1:])
+        .swapaxes(0, 1)
+        .reshape((-1,) + a.shape[1:])
+    )
+
+
 def make_denoise_fn(
     params: Dict[str, Any],
     model_cfg: ModelConfig,
@@ -136,6 +152,41 @@ def make_denoise_fn(
         ex = dataclasses.replace(
             ex, ip_tokens=tuple(t.astype(compute_dtype) for t in ex.ip_tokens)
         )
+    if do_cfg:
+        # One-time relayout of every CFG-doubled conditioning tensor to the
+        # interleaved convention (see _interleave_cfg).
+        cfg_batch = context.shape[0]
+        context = _interleave_cfg(context)
+        if region_biases is not None:
+            region_biases = tuple(_interleave_cfg(b) for b in region_biases)
+
+        def _maybe(a):
+            return (
+                _interleave_cfg(a)
+                if a is not None and a.shape[0] == cfg_batch
+                else a
+            )
+
+        ex = dataclasses.replace(
+            ex,
+            controlnet_images=(
+                None if ex.controlnet_images is None
+                else [_maybe(i) for i in ex.controlnet_images]
+            ),
+            t2i_residuals=(
+                None if ex.t2i_residuals is None
+                else tuple(_maybe(r) for r in ex.t2i_residuals)
+            ),
+            ip_tokens=(
+                None if ex.ip_tokens is None
+                else tuple(_maybe(t) for t in ex.ip_tokens)
+            ),
+            ip_masks=(
+                None if ex.ip_masks is None
+                else tuple(_maybe(m) for m in ex.ip_masks)
+            ),
+            extra_channels=_maybe(ex.extra_channels),
+        )
     sig_steps = (
         jnp.asarray(sigma_steps, jnp.float32)
         if sigma_steps is not None
@@ -154,7 +205,11 @@ def make_denoise_fn(
             proper = ex.inpaint_image_latents + sigma * ex.inpaint_noise
             x = m * x + (1.0 - m) * proper
 
-        x_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
+        if do_cfg:
+            # interleaved duplication: device-local under batch sharding
+            x_in = jnp.stack([x, x], axis=1).reshape((-1,) + x.shape[1:])
+        else:
+            x_in = x
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
         t = _sigma_to_t(sigma, log_sigma_table)
         t_b = jnp.full((x_in.shape[0],), t, jnp.float32)
@@ -182,18 +237,22 @@ def make_denoise_fn(
             ):
                 unit_scale = scale_tab[u][idx]
                 if ex.controlnet_guess and do_cfg:
-                    half = x.shape[0]
+                    # cond rows are the odd interleaved positions
                     d_res, m_res = controlnet_apply(
-                        cn_p, model_cfg.unet, scaled_in[half:],
-                        t_b[half:], context[half:],
-                        cn_img[half:] if cn_img.shape[0] == x_in.shape[0]
+                        cn_p, model_cfg.unet, scaled_in[1::2],
+                        t_b[1::2], context[1::2],
+                        cn_img[1::2] if cn_img.shape[0] == x_in.shape[0]
                         else cn_img,
                         conditioning_scale=unit_scale, guess_mode=True,
                     )
-                    d_res = tuple(
-                        jnp.concatenate([jnp.zeros_like(r), r]) for r in d_res
-                    )
-                    m_res = jnp.concatenate([jnp.zeros_like(m_res), m_res])
+
+                    def _zero_ileave(r):
+                        return jnp.stack(
+                            [jnp.zeros_like(r), r], axis=1
+                        ).reshape((-1,) + r.shape[1:])
+
+                    d_res = tuple(_zero_ileave(r) for r in d_res)
+                    m_res = _zero_ileave(m_res)
                 else:
                     d_res, m_res = controlnet_apply(
                         cn_p, model_cfg.unet, scaled_in, t_b, context,
@@ -236,7 +295,10 @@ def make_denoise_fn(
             denoised = x_in - out * sigma
 
         if do_cfg:
-            d_u, d_c = jnp.split(denoised, 2, axis=0)
+            pair = denoised.reshape(
+                (x.shape[0], 2) + denoised.shape[1:]
+            )
+            d_u, d_c = pair[:, 0], pair[:, 1]
             mixed = d_u + guidance_scale * (d_c - d_u)
             if guidance_rescale > 0.0:
                 mixed = rescale_noise_cfg(mixed, d_c, guidance_rescale)

@@ -292,3 +292,43 @@ def test_freeu():
     assert freeu.shape == base.shape
     assert not np.allclose(np.asarray(base), np.asarray(freeu))
     assert np.all(np.isfinite(np.asarray(freeu)))
+
+
+def test_cfg_halves_alignment():
+    """make_denoise_fn must mix the correct uncond/cond halves: check
+    against per-sample manual computation with DISTINCT halves (guards the
+    interleaved-CFG internal layout)."""
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        _sigma_to_t,
+        make_denoise_fn,
+    )
+    from diffusionspatialcontrol_tpu.samplers import schedules
+    from tests.test_pipeline import TINY
+
+    params = {
+        "unet": unet_init(jax.random.PRNGKey(0), TINY.unet, jnp.float32)
+    }
+    table = schedules.ddpm_sigma_table(TINY)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    b = 2
+    ctx_u = jax.random.normal(jax.random.PRNGKey(1), (b, 77, 64))
+    ctx_c = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 64))
+    context = jnp.concatenate([ctx_u, ctx_c])
+    fn = make_denoise_fn(params, TINY, context, None, log_table,
+                         guidance_scale=3.0, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, 16, 16, 4))
+    sigma = jnp.asarray(4.0)
+    got = fn(x, sigma)
+
+    c_in = 1.0 / jnp.sqrt(sigma**2 + 1)
+    t = _sigma_to_t(sigma, log_table)
+    t_b = jnp.full((b,), t)
+    eps_u = unet_apply(params["unet"], TINY.unet, x * c_in, t_b,
+                       UNetCond(context=ctx_u))
+    eps_c = unet_apply(params["unet"], TINY.unet, x * c_in, t_b,
+                       UNetCond(context=ctx_c))
+    d_u = x - eps_u * sigma
+    d_c = x - eps_c * sigma
+    want = d_u + 3.0 * (d_c - d_u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
