@@ -188,3 +188,28 @@ def test_encoder_mode_dispatch(clip_small):
         )
         assert ctx.shape[0] == 2
         assert ctx.shape[2] == 32
+
+
+def test_clip_bpe_algorithm_synthetic_vocab():
+    """BPE merge behavior on a hand-built vocab: 'lowest' should merge
+    via ranked pairs exactly like the GPT-2/CLIP algorithm."""
+    from diffusionspatialcontrol_tpu.text.tokenizer import CLIPTokenizer
+
+    vocab = {}
+    for i, tok in enumerate(
+        ["<|startoftext|>", "<|endoftext|>", "l", "o", "w", "e", "s", "t",
+         "lo", "low", "es", "est", "est</w>", "low</w>", "e</w>", "t</w>",
+         "s</w>", "w</w>", "o</w>", "l</w>", ",</w>"]
+    ):
+        vocab[tok] = i
+    tok = CLIPTokenizer(vocab, [("l", "o"), ("lo", "w"), ("e", "s"),
+                                ("es", "t</w>"), ("low", "w</w>")])
+    # 'lowest': l o w e s t</w> -> lo, low | es, est</w> by merge rank
+    ids = tok.tokenize_to_ids("lowest")
+    decoded = [k for k, v in tok.encoder.items() if v in ids]
+    assert "low" in decoded and "est</w>" in decoded
+
+    # bos/eos wrapping
+    full = tok.encode("lowest")
+    assert full[0] == vocab["<|startoftext|>"]
+    assert full[-1] == vocab["<|endoftext|>"]

@@ -267,3 +267,82 @@ def test_sa_solver_tau0_beats_dpmpp2m():
     sa = solvers.sample_sa_solver(denoise, x_init, sig, tau_value=0.0)
     m2 = solvers.sample_dpmpp_2m(denoise, x_init, sig)
     assert float(jnp.abs(sa - ref).max()) < float(jnp.abs(m2 - ref).max())
+
+
+def test_heun_matches_reference_recurrence():
+    rng = np.random.RandomState(11)
+    shape = (1, 2, 2, 1)
+    x0 = rng.randn(*shape).astype(np.float32)
+    sigmas = schedules.get_sigmas(CFG, 7, "karras")
+    x = (x0 + sigmas[0] * rng.randn(*shape)).astype(np.float32)
+
+    def d_np(x, sigma):
+        return x0 + 0.1 * np.tanh(x) * sigma / (sigma + 1.0)
+
+    xr = x.copy()
+    for i in range(len(sigmas) - 1):
+        den = d_np(xr, sigmas[i])
+        d = (xr - den) / sigmas[i]
+        dt = sigmas[i + 1] - sigmas[i]
+        if sigmas[i + 1] == 0:
+            xr = xr + d * dt
+        else:
+            x2 = xr + d * dt
+            den2 = d_np(x2, sigmas[i + 1])
+            d2 = (x2 - den2) / sigmas[i + 1]
+            xr = xr + (d + d2) / 2 * dt
+
+    def d_jnp(x, sigma):
+        return jnp.asarray(x0) + 0.1 * jnp.tanh(x) * sigma / (sigma + 1.0)
+
+    out = solvers.sample_heun(d_jnp, jnp.asarray(x), sigmas)
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_dpmpp_2m_sde_matches_reference_recurrence():
+    """k-diffusion sample_dpmpp_2m_sde (midpoint) numpy replication."""
+    rng = np.random.RandomState(12)
+    shape = (1, 2, 2, 1)
+    x0 = rng.randn(*shape).astype(np.float32)
+    sigmas = schedules.get_sigmas(CFG, 6, "karras")
+    x = (x0 + sigmas[0] * rng.randn(*shape)).astype(np.float32)
+    n = len(sigmas) - 1
+    noise = rng.randn(n, *shape).astype(np.float32)
+    eta, s_noise = 1.0, 1.0
+
+    def d_np(x, sigma):
+        return x0 + 0.1 * np.tanh(x) * sigma / (sigma + 1.0)
+
+    xr = x.copy()
+    old_denoised = None
+    h_last = None
+    for i in range(n):
+        den = d_np(xr, sigmas[i])
+        if sigmas[i + 1] == 0:
+            xr = den
+        else:
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            eta_h = eta * h
+            xr = (
+                sigmas[i + 1] / sigmas[i] * np.exp(-eta_h) * xr
+                + (-np.expm1(-h - eta_h)) * den
+            )
+            if old_denoised is not None:
+                r = h_last / h
+                xr = xr + 0.5 * (-np.expm1(-h - eta_h)) * (1 / r) * (
+                    den - old_denoised
+                )
+            xr = xr + noise[i] * sigmas[i + 1] * np.sqrt(
+                -np.expm1(-2 * eta_h)
+            ) * s_noise
+            h_last = h
+        old_denoised = den
+
+    def d_jnp(x, sigma):
+        return jnp.asarray(x0) + 0.1 * jnp.tanh(x) * sigma / (sigma + 1.0)
+
+    out = solvers.sample_dpmpp_2m_sde(
+        d_jnp, jnp.asarray(x), sigmas, noise=jnp.asarray(noise), eta=eta
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=3e-4, atol=3e-5)
