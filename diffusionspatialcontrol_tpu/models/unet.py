@@ -317,7 +317,7 @@ def _self_attention(p, x, heads, attn_impl):
 
 
 def _cross_attention(p, x, cond: UNetCond, level: int, heads, attn_impl,
-                     heatmaps: Optional[list]):
+                     heatmaps: Optional[list], axis_name: Optional[str] = None):
     q = _heads_split(linear(p["to_q"], x), heads)
     k = _heads_split(linear(p["to_k"], cond.context), heads)
     v = _heads_split(linear(p["to_v"], cond.context), heads)
@@ -327,10 +327,12 @@ def _cross_attention(p, x, cond: UNetCond, level: int, heads, attn_impl,
         if attn_impl == "pallas":
             from ..ops.pallas.region_attention import region_attention_nlhd
 
-            out = region_attention_nlhd(q, k, v, bias, cond.region.sigma)
+            out = region_attention_nlhd(q, k, v, bias, cond.region.sigma,
+                                        axis_name=axis_name)
         else:
             out = attn_ops.region_attention_nlhd(q, k, v, bias,
-                                                 cond.region.sigma)
+                                                 cond.region.sigma,
+                                                 axis_name=axis_name)
     else:
         if attn_impl == "pallas":
             from ..ops.pallas.flash_attention import flash_attention_nlhd
@@ -390,7 +392,8 @@ def _geglu_ff(p, x):
 
 
 def _transformer_apply(p, cfg: UNetConfig, x, cond: UNetCond, level: int,
-                       heads, attn_impl, heatmaps):
+                       heads, attn_impl, heatmaps,
+                       axis_name: Optional[str] = None):
     b, hh, ww, c = x.shape
     residual = x
     h = group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6)
@@ -405,7 +408,8 @@ def _transformer_apply(p, cfg: UNetConfig, x, cond: UNetCond, level: int,
         h = h + _self_attention(bp["attn1"], layer_norm(bp["norm1"], h), heads,
                                 attn_impl)
         h = h + _cross_attention(bp["attn2"], layer_norm(bp["norm2"], h), cond,
-                                 level, heads, attn_impl, heatmaps)
+                                 level, heads, attn_impl, heatmaps,
+                                 axis_name=axis_name)
         h = h + _geglu_ff(bp["ff"], layer_norm(bp["norm3"], h))
 
     if cfg.use_linear_projection:
@@ -441,6 +445,7 @@ def unet_apply(
     attn_impl: str = "xla",
     freeu: Optional[FreeUParams] = None,
     collect_heatmaps: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """UNet forward. Returns eps/v prediction (B, H, W, out_channels); with
     ``collect_heatmaps`` also returns a list of (level, (B, L, S)) cross-attn
@@ -470,7 +475,7 @@ def unet_apply(
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
-                                       heatmaps)
+                                       heatmaps, axis_name=axis_name)
             if j == n_res - 1 and t2i:
                 h = h + t2i.pop(0).astype(h.dtype)
             skips.append(h)
@@ -488,7 +493,7 @@ def unet_apply(
     h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_)
     h = _transformer_apply(mid["attention"], cfg, h, cond, cfg.num_levels - 1,
                            cfg.heads_at(cfg.num_levels - 1), attn_impl,
-                           heatmaps)
+                           heatmaps, axis_name=axis_name)
     h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_)
     if cond.controlnet_mid is not None:
         h = h + cond.controlnet_mid.astype(h.dtype)
@@ -508,7 +513,7 @@ def unet_apply(
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
-                                       heatmaps)
+                                       heatmaps, axis_name=axis_name)
         if "upsample" in block:
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")

@@ -188,8 +188,12 @@ def attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jax.nn.dot_product_attention(q, k, v, scale=scale)
 
 
-def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray,
-                         scale: float) -> jnp.ndarray:
+def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray, scale: float,
+                         axis_name: Optional[str] = None) -> jnp.ndarray:
+    """BTNH variant; with ``axis_name`` set (inside shard_map) the moment
+    sums are psum'd so the std stays global over the full batch — the ONLY
+    cross-device communication the sampling step needs (the reference's
+    std is global by definition, attention_modify.py:95)."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     n = q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
@@ -199,6 +203,10 @@ def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray,
     q_gram = jnp.einsum("blhd,blhe->bhde", qf, qf)
     k_gram = jnp.einsum("bshd,bshe->bhde", kf, kf)
     total_sq = jnp.einsum("bhde,bhde->", q_gram, k_gram) * (scale * scale)
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        total_sq = jax.lax.psum(total_sq, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
     mean = total / n
     var = (total_sq - n * mean * mean) / (n - 1)
     return jnp.sqrt(jnp.maximum(var, 0.0))
@@ -207,11 +215,12 @@ def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray,
 def region_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           region_state: jnp.ndarray, sigma: jnp.ndarray,
                           weight_scale: float = 1.0,
-                          scale: Optional[float] = None) -> jnp.ndarray:
+                          scale: Optional[float] = None,
+                          axis_name: Optional[str] = None) -> jnp.ndarray:
     """BTNH variant of region_attention; region_state: (B, L, S)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    std = logits_std_gram_nlhd(q, k, scale)
+    std = logits_std_gram_nlhd(q, k, scale, axis_name=axis_name)
     w = region_state.astype(jnp.float32) * (
         jnp.float32(weight_scale) * sigma.astype(jnp.float32) * std
     )

@@ -61,7 +61,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
 def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      region_state: jnp.ndarray, sigma: jnp.ndarray,
                      weight_scale: float = 1.0,
-                     interpret: bool | None = None) -> jnp.ndarray:
+                     interpret: bool | None = None,
+                     axis_name: str | None = None) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.region_attention.
 
     q: (B, H, L, D); k, v: (B, H, S, D); region_state: (B, L, S)."""
@@ -71,7 +72,15 @@ def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     s_len = k.shape[2]
     scale = d**-0.5
 
-    std = logits_std_gram(q, k, scale)
+    if axis_name is None:
+        std = logits_std_gram(q, k, scale)
+    else:
+        from ..attention import logits_std_gram_nlhd
+
+        std = logits_std_gram_nlhd(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), scale,
+            axis_name=axis_name,
+        )
     w = region_state.astype(jnp.float32) * (
         jnp.float32(weight_scale) * sigma.astype(jnp.float32) * std
     )
@@ -119,12 +128,15 @@ def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def region_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           region_state: jnp.ndarray, sigma: jnp.ndarray,
                           weight_scale: float = 1.0,
-                          interpret: bool | None = None) -> jnp.ndarray:
+                          interpret: bool | None = None,
+                          axis_name: str | None = None) -> jnp.ndarray:
     """BTNH entry point (see flash_attention_nlhd on why this transposes
-    rather than head-slicing with a 4D BlockSpec)."""
+    rather than head-slicing with a 4D BlockSpec). ``axis_name``: psum the
+    global-std moments inside shard_map."""
     out = region_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3), region_state, sigma,
         weight_scale=weight_scale, interpret=interpret,
+        axis_name=axis_name,
     )
     return out.transpose(0, 2, 1, 3)

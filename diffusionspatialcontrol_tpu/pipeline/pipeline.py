@@ -143,6 +143,7 @@ def make_denoise_fn(
     compute_dtype=jnp.bfloat16,
     extras: Optional[DenoiseExtras] = None,
     sigma_steps: Optional[np.ndarray] = None,  # static per-step sigmas
+    axis_name: Optional[str] = None,  # set inside shard_map (parallel/spmd)
 ):
     """Builds the sigma-space denoiser D(x; sigma) used by every solver."""
     do_cfg = guidance_scale > 1.0
@@ -284,7 +285,7 @@ def make_denoise_fn(
 
         out = unet_apply(
             params["unet"], model_cfg.unet, model_in, t_b, cond,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, axis_name=axis_name,
         ).astype(jnp.float32)
 
         if model_cfg.prediction_type == "v_prediction":

@@ -156,3 +156,40 @@ def test_uint8_output(pipe):
         np.asarray(img_u8, np.int32) - want.astype(np.int32)
     )
     assert diff.max() <= 1  # rounding-mode differences only
+
+
+def test_shard_map_spmd_matches_single_device(pipe):
+    """Explicit-SPMD runner vs single-device pipeline: same seeds, same
+    results (the region-std psum must reproduce the global statistic)."""
+    from diffusionspatialcontrol_tpu.parallel.mesh import data_parallel_mesh
+    from diffusionspatialcontrol_tpu.parallel.spmd import sample_spmd
+
+    devs = jax.devices()[:4]
+    mesh = data_parallel_mesh(devs)
+    prompts = ["a red cat"] * 4
+    ctx, ids = pipe.encode_prompt(prompts, [""] * 4)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.2}}
+    biases = pipe.encode_region([state] * 4, ids, height=64, width=64)
+
+    single = pipe.txt2img(ctx, GEN, seed=[5, 6, 7, 8],
+                          region_biases=biases, decode=False)
+    spmd = sample_spmd(pipe, ctx, GEN, [5, 6, 7, 8], mesh,
+                       region_biases=biases)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(spmd), atol=2e-3
+    )
+
+
+def test_shard_map_spmd_no_region(pipe):
+    from diffusionspatialcontrol_tpu.parallel.mesh import data_parallel_mesh
+    from diffusionspatialcontrol_tpu.parallel.spmd import sample_spmd
+
+    mesh = data_parallel_mesh(jax.devices()[:2])
+    ctx, _ = pipe.encode_prompt(["a cat", "a dog"], [""] * 2)
+    single = pipe.txt2img(ctx, GEN, seed=[1, 2], decode=False)
+    spmd = sample_spmd(pipe, ctx, GEN, [1, 2], mesh)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(spmd), atol=2e-3
+    )
