@@ -19,8 +19,9 @@ Design notes:
     the compiled scan are (a) the semantically required scalar
     all-reduces of the region std (it is global over the CFG batch by
     reference semantics) and (b) GSPMD auto-resharding choices on the
-    tiny validation shapes; full control belongs to a shard_map port of
-    the per-device sampling step (round 2).
+    tiny validation shapes; full control lives in
+    parallel/spmd.py's shard_map runner (only the region-std psum
+    remains, by reference semantics).
   * Params are replicated; activations sharded on batch. At SD scale
     (<1B params) tensor/pipeline parallelism would only add latency.
   * Multi-host: the same code runs under ``jax.distributed`` with a DCN+ICI
