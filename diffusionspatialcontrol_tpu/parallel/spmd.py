@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GenerationConfig, ModelConfig
-from ..pipeline.pipeline import DenoiseExtras, make_denoise_fn
+from ..pipeline.pipeline import make_denoise_fn
 from ..samplers import schedules, solvers
 
 try:  # jax >= 0.8
@@ -65,7 +65,6 @@ def _sample_spmd(
     log_table = jnp.asarray(np.log(table), jnp.float32)
 
     def local_run(params, latents, ctx_pairs, bias_pairs, noise):
-        b_local = ctx_pairs.shape[0]
         # local halves layout [u..., c...] as make_denoise_fn expects
         context = jnp.concatenate([ctx_pairs[:, 0], ctx_pairs[:, 1]])
         biases = None
@@ -108,8 +107,6 @@ def sample_spmd(
     """Data-parallel sampling over ``mesh`` with explicit shardings.
 
     Returns raw latents (B, h, w, 4); decode via pipe.decode_latents."""
-    from ..samplers import brownian
-
     sigmas, defaults = pipe._schedule(gen)
     seeds = [int(s) for s in seeds]
     batch = len(seeds)
