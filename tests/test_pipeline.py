@@ -193,3 +193,35 @@ def test_shard_map_spmd_no_region(pipe):
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(spmd), atol=2e-3
     )
+
+
+@pytest.mark.parametrize(
+    "solver", sorted(
+        __import__(
+            "diffusionspatialcontrol_tpu.samplers.solvers",
+            fromlist=["SOLVERS"],
+        ).SOLVERS.keys()
+    )
+)
+def test_every_registered_solver_samples(pipe, solver):
+    """Every solver in the registry runs end-to-end through txt2img and
+    produces finite latents (2-3 steps, tiny model)."""
+    from diffusionspatialcontrol_tpu.samplers.solvers import SOLVERS
+
+    _, _, defaults = SOLVERS[solver]
+    gen = dataclasses.replace(
+        GEN, sampler=solver, num_inference_steps=3,
+        schedule=defaults.get("scheduler", "karras"),
+    )
+    out = pipe.txt2img(ctx_for(pipe), gen, seed=11, decode=False)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+_CTX_CACHE = {}
+
+
+def ctx_for(pipe):
+    if "ctx" not in _CTX_CACHE:
+        _CTX_CACHE["ctx"] = pipe.encode_prompt(["a cat"], [""])[0]
+    return _CTX_CACHE["ctx"]
