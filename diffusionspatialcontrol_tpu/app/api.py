@@ -79,6 +79,29 @@ class ModelManager:
                  model_cfg: Optional[ModelConfig] = None):
         self._dirs[name] = (path, model_cfg or sd15_config())
 
+    def register_zoo(self, root: str):
+        """Register every reference-zoo checkpoint found under ``root``
+        (one subdirectory per HF repo id's basename), picking the SD2.x
+        architecture preset where the zoo requires it
+        (registry.SD2_MODELS)."""
+        import os
+
+        from ..config import sd21_config
+
+        registered = []
+        for display, repo_id in registry.MODEL_ZOO:
+            path = os.path.join(root, repo_id.replace("/", "--"))
+            if not os.path.isdir(path):
+                path = os.path.join(root, os.path.basename(repo_id))
+            if os.path.isdir(path):
+                cfg = (
+                    sd21_config() if repo_id in registry.SD2_MODELS
+                    else sd15_config()
+                )
+                self.register(display, path, cfg)
+                registered.append(display)
+        return registered
+
     def register_random(self, name: str,
                         model_cfg: Optional[ModelConfig] = None, seed=0):
         """Random-init model (tests / benchmarks without weights)."""

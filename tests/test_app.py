@@ -148,3 +148,38 @@ def test_http_server(manager):
         assert len(payload["images"]) == 1
     finally:
         server.shutdown()
+
+
+def test_register_zoo(tmp_path, manager):
+    # fake checkpoint dirs for two zoo entries (one SD2)
+    (tmp_path / "stable-diffusion-v1-5").mkdir()
+    (tmp_path / "stabilityai--stable-diffusion-2-1-base").mkdir()
+    m = ModelManager()
+    names = m.register_zoo(str(tmp_path))
+    assert "Stable Diffusion v1.5" in names
+    assert "Stable Diffusion v2.1" in names
+    cfg21 = m._dirs["Stable Diffusion v2.1"][1]
+    assert cfg21.unet.cross_attention_dim == 1024
+    cfg15 = m._dirs["Stable Diffusion v1.5"][1]
+    assert cfg15.unet.cross_attention_dim == 768
+
+
+def test_profiling_utils():
+    import time as _time
+
+    from diffusionspatialcontrol_tpu.utils.profiling import (
+        PhaseTimer,
+        Watchdog,
+    )
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        _time.sleep(0.01)
+    summary = json.loads(t.summary(model="x"))
+    assert summary["a_s"] >= 0.01 and summary["model"] == "x"
+
+    w = Watchdog(timeout_s=0.001)
+    _time.sleep(0.01)
+    with pytest.raises(TimeoutError):
+        w.check()
+    Watchdog(timeout_s=100).check()  # no raise
