@@ -49,18 +49,30 @@ class ControlNetUnit:
 
 @dataclasses.dataclass
 class T2IAdapterUnit:
-    model: str
-    image: np.ndarray
+    """One T2I-Adapter unit (reference multi-unit editor,
+    source/app.py:654-700, 989-997)."""
+
+    model: str  # name in registry.T2I_ADAPTER_MODELS or a weight path
+    image: np.ndarray  # (H, W, 3) conditioning image in [0, 1]
     scale: float = 1.0
+    conditioning_factor: float = 1.0  # residuals active while
+    # step < steps*factor (reference: model_k_diffusion.py:1110-1117)
 
 
 @dataclasses.dataclass
 class IPAdapterUnit:
+    """One IP-Adapter unit (reference: app.py:1021-1096). Provide either a
+    reference ``image`` (embedded through the registered CLIP-vision
+    encoder, or the FaceID embedder for FaceID variants) or precomputed
+    ``image_embeds``."""
+
     model: str  # variant name in registry.IP_ADAPTER_MODELS or a path
-    image_embeds: np.ndarray  # precomputed CLIP-vision (or FaceID) embeds
+    image: Optional[np.ndarray] = None  # (H, W, 3) reference image
+    image_embeds: Optional[np.ndarray] = None  # precomputed embeds
     scale: float = 1.0
     mask: Optional[np.ndarray] = None  # (H, W) spatial gate
     uncond_image_embeds: Optional[np.ndarray] = None
+    face_embedder: Optional[Any] = None  # override ops.face_embed.embed_face
 
 
 class ModelManager:
@@ -131,14 +143,111 @@ class ModelManager:
 
     def get_controlnet(self, name_or_path: str, unet_cfg):
         if name_or_path not in self._controlnets:
-            from ..models.controlnet import controlnet_init
+            import os
 
-            # without local weights, fall back to zero-init (no-op) trunks;
-            # real deployments convert from the registered path
-            self._controlnets[name_or_path] = controlnet_init(
-                jax.random.PRNGKey(0), unet_cfg, dtype=self.dtype
-            )
+            if os.path.exists(name_or_path):
+                from ..convert.hf import convert_controlnet, load_state_dict
+
+                self._controlnets[name_or_path] = convert_controlnet(
+                    load_state_dict(name_or_path), unet_cfg, self.dtype
+                )
+            else:
+                from ..models.controlnet import controlnet_init
+
+                # without local weights, fall back to zero-init (no-op)
+                # trunks; real deployments convert from a weight path
+                self._controlnets[name_or_path] = controlnet_init(
+                    jax.random.PRNGKey(0), unet_cfg, dtype=self.dtype
+                )
         return self._controlnets[name_or_path]
+
+    def get_t2i_adapter(self, name_or_path: str, unet_cfg=None):
+        """Converted T2I-Adapter params (reference: setup_adapter caches,
+        app.py:349-356). Weight path -> convert.hf.convert_t2i_adapter;
+        otherwise random-init (zero-egress fallback; identical program)."""
+        if name_or_path not in self._adapters:
+            import os
+
+            if os.path.exists(name_or_path):
+                from ..convert.hf import convert_t2i_adapter, load_state_dict
+
+                self._adapters[name_or_path] = convert_t2i_adapter(
+                    load_state_dict(name_or_path), self.dtype
+                )
+            else:
+                from ..config import T2IAdapterConfig
+                from ..models.t2i_adapter import t2i_adapter_init
+
+                cfg = T2IAdapterConfig(
+                    channels=unet_cfg.block_out_channels
+                ) if unet_cfg is not None else T2IAdapterConfig()
+                self._adapters[name_or_path] = t2i_adapter_init(
+                    jax.random.PRNGKey(0), cfg, dtype=self.dtype,
+                )
+        return self._adapters[name_or_path]
+
+    def get_ip_adapter_state(self, name_or_path: str, unet_cfg):
+        """Split {image_proj, ip_adapter} numpy state dict for one
+        IP-Adapter weight file (reference: IPAdapterMixin.load_ip_adapter
+        fetch+split, ip_adapter.py:160-195). Weight path -> loaded from
+        disk; known variant names -> deterministic synthetic weights with
+        the real layout (zero-egress fallback)."""
+        key = f"ip::{name_or_path}"
+        if key not in self._adapters:
+            import os
+
+            from ..models import ip_adapter as ipa
+
+            if os.path.isfile(name_or_path):
+                self._adapters[key] = ipa.load_ip_adapter_file(name_or_path)
+            else:
+                variant = {
+                    "IP-Adapter": "linear",
+                    "IP-Adapter Light": "linear",
+                    "IP-Adapter Face": "mlp",
+                    "IP-Adapter FaceID": "faceid",
+                    "IP-Adapter Plus": "resampler",
+                    "IP-Adapter Plus Face": "resampler",
+                }.get(name_or_path, "linear")
+                enc_cfg, _ = self.get_image_encoder()
+                embed_dim = (
+                    enc_cfg.hidden_size if variant == "resampler"
+                    else enc_cfg.projection_dim
+                )
+                self._adapters[key] = ipa.random_state_dict(
+                    unet_cfg, variant, seed=0, embed_dim=embed_dim
+                )
+        return self._adapters[key]
+
+    def register_image_encoder(self, path: Optional[str] = None,
+                               cfg=None):
+        self._image_encoder_path = path
+        self._image_encoder_cfg = cfg
+        self._adapters.pop("image_encoder", None)
+
+    def get_image_encoder(self):
+        """(CLIPVisionConfig, params) for IP-Adapter image embedding
+        (reference registers CLIPVisionModelWithProjection on demand,
+        ip_adapter.py:197-226). Random-init when no weights are
+        registered."""
+        if "image_encoder" not in self._adapters:
+            from ..models.clip_vision import (
+                CLIPVisionConfig, clip_vision_init,
+            )
+
+            cfg = getattr(self, "_image_encoder_cfg", None) or \
+                CLIPVisionConfig()
+            path = getattr(self, "_image_encoder_path", None)
+            if path:
+                from ..convert.hf import convert_clip_vision, load_state_dict
+
+                params = convert_clip_vision(load_state_dict(path), cfg,
+                                             self.dtype)
+            else:
+                params = clip_vision_init(jax.random.PRNGKey(0), cfg,
+                                          dtype=self.dtype)
+            self._adapters["image_encoder"] = (cfg, params)
+        return self._adapters["image_encoder"]
 
 
 def inference(
@@ -175,6 +284,7 @@ def inference(
     # extras
     latent_preview: bool = False,
     timeout: float = registry.INFERENCE_TIMEOUT_S,
+    cancel_check_steps: Optional[int] = None,
     dtype=jnp.bfloat16,
 ):
     """Generate images. Returns dict with ``images`` (B, H, W, 3) uint8,
@@ -183,6 +293,25 @@ def inference(
     watchdog = Watchdog(timeout)
 
     model_cfg, params, tokenizer = manager.get(model)
+
+    loaded_ip = None
+    if ip_adapter_units:
+        # IP-Adapters install decoupled K/V weights into the UNet; copy the
+        # container skeleton so the manager's cached tree stays pristine
+        # (arrays are shared — the reference deepcopies whole models
+        # instead, app.py:312-340).
+        from ..models import ip_adapter as ipa
+
+        states = [
+            manager.get_ip_adapter_state(u.model, model_cfg.unet)
+            for u in ip_adapter_units
+        ]
+        unet_copy = ipa.copy_tree_containers(params["unet"])
+        loaded_ip = ipa.load_ip_adapter(
+            unet_copy, model_cfg.unet, states, dtype=dtype
+        )
+        params = {**params, "unet": unet_copy}
+
     pipe = StableDiffusionTPU(model_cfg, params, tokenizer=tokenizer)
 
     spec = registry.resolve_sampler(sampler)
@@ -232,15 +361,43 @@ def inference(
                 guess_mode=any(u.guess_mode for u in controlnet_units),
             )
         if t2i_units:
-            raise NotImplementedError(
-                "T2I units via inference() require converted adapter "
-                "weights; use pipe.build_t2i_extras directly"
+            # reference: adapter residuals precomputed once per generation
+            # (t2i_adapter.py:90-118), active while step < steps*factor
+            t2i_params = [
+                manager.get_t2i_adapter(u.model, model_cfg.unet)
+                for u in t2i_units
+            ]
+            t2i_imgs = [
+                jnp.asarray(u.image, jnp.float32)[None] for u in t2i_units
+            ]
+            extras = pipe.build_t2i_extras(
+                gen, t2i_params, t2i_imgs,
+                scales=[u.scale for u in t2i_units],
+                conditioning_factor=min(
+                    u.conditioning_factor for u in t2i_units
+                ),
+                base=extras,
             )
         if ip_adapter_units:
-            raise NotImplementedError(
-                "IP-Adapter units via inference() require converted "
-                "adapter weights; use models.ip_adapter.load_ip_adapter + "
-                "pipe.build_ip_extras directly"
+            embeds, uncond_embeds = [], []
+            for u, ad in zip(ip_adapter_units, loaded_ip):
+                e, ue = _ip_unit_embeds(manager, u, ad)
+                embeds.append(e)
+                uncond_embeds.append(ue)
+            extras = pipe.build_ip_extras(
+                loaded_ip, embeds,
+                scales=[u.scale for u in ip_adapter_units],
+                masks=(
+                    [
+                        None if u.mask is None
+                        else jnp.asarray(u.mask, jnp.float32)[None]
+                        for u in ip_adapter_units
+                    ]
+                    if any(u.mask is not None for u in ip_adapter_units)
+                    else None
+                ),
+                uncond_image_embeds=uncond_embeds,
+                base=extras,
             )
     watchdog.check()
 
@@ -278,6 +435,19 @@ def inference(
                 context, latents, gen, strength=strength, seed=seed,
                 region_biases=region_biases, extras=extras,
             )
+        elif cancel_check_steps and hires is None and not latent_preview:
+            # in-scan watchdog: the reference checks its timeout inside
+            # every model_fn (model_k_diffusion.py:1094-1095); here the
+            # scan re-enters the host every cancel_check_steps steps and
+            # the watchdog can abort mid-generation (bitwise-identical
+            # results to the single-scan path).
+            out = pipe.sample_chunked(
+                context, gen, seed=seed, region_biases=region_biases,
+                batch_size=batch, extras=extras,
+                chunk_steps=cancel_check_steps,
+                on_chunk=lambda done, total: watchdog.check(),
+                uint8_output=True,
+            )
         else:
             res = pipe.txt2img(
                 context, gen, seed=seed, region_biases=region_biases,
@@ -308,6 +478,61 @@ def inference(
     if latent_preview and previews is not None:
         result["previews"] = previews
     return result
+
+
+def _ip_unit_embeds(manager: ModelManager, unit: IPAdapterUnit, adapter):
+    """(cond_embeds, uncond_embeds) for one IP-Adapter unit.
+
+    Mirrors the reference's embed preparation (app.py:800-825 FaceID via
+    insightface; model_k_diffusion.py:173-222 CLIP-vision encode with the
+    hidden-states path for plus/Resampler variants; uncond = zero image /
+    zero embeds)."""
+    if unit.image_embeds is not None:
+        emb = jnp.asarray(unit.image_embeds)
+        if emb.ndim == 1 or (adapter.variant == "resampler"
+                             and emb.ndim == 2):
+            emb = emb[None]
+        uncond = (
+            jnp.asarray(unit.uncond_image_embeds)
+            if unit.uncond_image_embeds is not None
+            else jnp.zeros_like(emb)
+        )
+        if uncond.shape != emb.shape:
+            uncond = uncond[None]
+        return emb, uncond
+    if unit.image is None:
+        raise ValueError(
+            f"IP-Adapter unit {unit.model!r} needs image or image_embeds"
+        )
+
+    is_faceid = (
+        adapter.variant == "mlp"
+        and adapter.proj_params["ff_in"]["kernel"].shape[0] == 512
+    )
+    if is_faceid:
+        from ..ops.face_embed import embed_face
+
+        embedder = unit.face_embedder or embed_face
+        emb = jnp.asarray(embedder(unit.image))[None]
+        return emb, jnp.zeros_like(emb)
+
+    from ..models.clip_vision import clip_vision_apply, preprocess_image
+
+    enc_cfg, enc_params = manager.get_image_encoder()
+    pixels = preprocess_image(jnp.asarray(unit.image)[None],
+                              enc_cfg.image_size)
+    hidden = adapter.variant == "resampler"
+    emb = clip_vision_apply(enc_params, enc_cfg, pixels,
+                            output_hidden_state=hidden)
+    if hidden:
+        # diffusers parity: uncond = hidden states of a zero image
+        uncond = clip_vision_apply(
+            enc_params, enc_cfg, jnp.zeros_like(pixels),
+            output_hidden_state=True,
+        )
+    else:
+        uncond = jnp.zeros_like(emb)
+    return emb, uncond
 
 
 def _to_pm1(img: np.ndarray) -> np.ndarray:

@@ -329,6 +329,52 @@ def convert_clip(sd: StateDict, cfg: CLIPTextConfig,
     return params
 
 
+def convert_clip_vision(sd: StateDict, cfg, dtype=jnp.bfloat16):
+    """CLIPVisionModelWithProjection (transformers layout) -> our
+    models.clip_vision tree (reference registers this encoder for
+    IP-Adapters, ip_adapter.py:197-226)."""
+    pre = "vision_model"
+    emb = f"{pre}.embeddings"
+    params: Dict[str, Any] = {
+        "class_embedding": jnp.asarray(
+            sd.get(f"{emb}.class_embedding"), dtype
+        ),
+        "patch_embedding": {
+            "kernel": jnp.asarray(
+                sd.get(f"{emb}.patch_embedding.weight")
+                .transpose(2, 3, 1, 0), dtype
+            )
+        },
+        "position_embedding": jnp.asarray(
+            sd.get(f"{emb}.position_embedding.weight"), dtype
+        ),
+        # transformers spells it "pre_layrnorm"
+        "pre_layrnorm": _norm(sd, f"{pre}.pre_layrnorm", dtype),
+        "layers": [],
+        "post_layernorm": _norm(sd, f"{pre}.post_layernorm", dtype),
+        "visual_projection": {
+            "kernel": jnp.asarray(
+                sd.get("visual_projection.weight").T, dtype
+            )
+        },
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{pre}.encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "layer_norm1": _norm(sd, f"{lp}.layer_norm1", dtype),
+                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj", dtype),
+                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj", dtype),
+                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj", dtype),
+                "out_proj": _linear(sd, f"{lp}.self_attn.out_proj", dtype),
+                "layer_norm2": _norm(sd, f"{lp}.layer_norm2", dtype),
+                "fc1": _linear(sd, f"{lp}.mlp.fc1", dtype),
+                "fc2": _linear(sd, f"{lp}.mlp.fc2", dtype),
+            }
+        )
+    return params
+
+
 def _find_weights(dirpath: str, names=("diffusion_pytorch_model.safetensors",
                                        "model.safetensors",
                                        "diffusion_pytorch_model.bin",
@@ -338,6 +384,14 @@ def _find_weights(dirpath: str, names=("diffusion_pytorch_model.safetensors",
         if os.path.exists(p):
             return p
     raise FileNotFoundError(f"no weight file in {dirpath}")
+
+
+def load_state_dict(path: str) -> StateDict:
+    """StateDict from a weight file OR a model directory (resolves the
+    standard diffusers/transformers file names)."""
+    if os.path.isdir(path):
+        path = _find_weights(path)
+    return StateDict.load(path)
 
 
 def load_pipeline_params(model_dir: str, cfg: ModelConfig,

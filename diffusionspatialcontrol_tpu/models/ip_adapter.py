@@ -18,7 +18,7 @@ follows that order into our tree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +188,9 @@ def convert_image_proj(image_proj_sd: Dict[str, np.ndarray],
         "layers": layers,
     }
     num_tokens = p["latents"].shape[0]
+    # head_dim-64 convention: 1280-dim plus adapters -> 20 heads (the
+    # diffusers IPAdapterPlusImageProjection default)
+    p["heads"] = max(1, p["latents"].shape[-1] // 64)
     return "resampler", p, num_tokens
 
 
@@ -213,6 +216,22 @@ def cross_attn_paths(unet_cfg: UNetConfig) -> List[Tuple]:
     for tb in range(unet_cfg.transformer_layers_per_block):
         paths.append(("mid_block", "attention", "blocks", tb, "attn2"))
     return paths
+
+
+def cross_attn_hidden_dims(unet_cfg: UNetConfig) -> List[int]:
+    """Inner (query/output) channel dim of each cross-attn layer, aligned
+    with ``cross_attn_paths`` order."""
+    dims: List[int] = []
+    ch = unet_cfg.block_out_channels
+    n = unet_cfg.num_levels
+    for path in cross_attn_paths(unet_cfg):
+        if path[0] == "down_blocks":
+            dims.append(ch[path[1]])
+        elif path[0] == "up_blocks":
+            dims.append(ch[n - 1 - path[1]])
+        else:
+            dims.append(ch[-1])
+    return dims
 
 
 def install_ip_adapter_weights(
@@ -277,7 +296,142 @@ class LoadedIPAdapter:
         if self.variant == "mlp":
             return full_projection_apply(self.proj_params, image_embeds,
                                          self.num_tokens)
-        return resampler_apply(self.proj_params, image_embeds)
+        return resampler_apply(self.proj_params, image_embeds,
+                               heads=self.proj_params.get("heads", 20))
+
+
+def copy_tree_containers(tree):
+    """Recursive copy of dict/list/tuple containers, sharing array leaves.
+    Lets ``install_ip_adapter_weights`` write into a per-request UNet tree
+    without mutating the ModelManager's cached params (the reference
+    deepcopies whole models per request, app.py:312-340; we only copy the
+    container skeleton)."""
+    if isinstance(tree, dict):
+        return {k: copy_tree_containers(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [copy_tree_containers(v) for v in tree]
+    if isinstance(tree, tuple):
+        return tuple(copy_tree_containers(v) for v in tree)
+    return tree
+
+
+def split_ip_adapter_state_dict(
+    flat: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Flat {'image_proj.x': t, 'ip_adapter.y': t} (safetensors layout) ->
+    {'image_proj': {...}, 'ip_adapter': {...}} (reference split:
+    ip_adapter.py:178-185)."""
+    out: Dict[str, Dict[str, np.ndarray]] = {"image_proj": {},
+                                             "ip_adapter": {}}
+    for k, v in flat.items():
+        group, _, rest = k.partition(".")
+        if group in out:
+            out[group][rest] = v
+    return out
+
+
+def load_ip_adapter_file(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Load one IP-Adapter weight file (.safetensors or torch pickle) into
+    the split {image_proj, ip_adapter} groups (reference:
+    ip_adapter.py:160-195; pickles go through the restricted-unpickler
+    equivalent torch.load with weights_only)."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        flat = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                flat[k] = f.get_tensor(k)
+        return split_ip_adapter_state_dict(flat)
+    import torch  # CPU-only in this image; weights_only = safe load
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "image_proj" in sd and "ip_adapter" in sd:
+        return {
+            g: {k: v.float().numpy() for k, v in sd[g].items()}
+            for g in ("image_proj", "ip_adapter")
+        }
+    return split_ip_adapter_state_dict(
+        {k: v.float().numpy() for k, v in sd.items()}
+    )
+
+
+def random_state_dict(
+    unet_cfg: UNetConfig,
+    variant: str = "linear",
+    seed: int = 0,
+    embed_dim: int = 1024,
+    num_tokens: int = 4,
+    hidden_dims: Optional[Dict[str, int]] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Synthetic {image_proj, ip_adapter} state dict with the exact layout
+    of the real weight files — used by tests and by the ModelManager's
+    zero-egress fallback (converted checkpoints are identical programs;
+    throughput/shape behavior is weight-independent).
+
+    ``variant``: 'linear' (base/light), 'mlp' (full-face), 'faceid'
+    (512-d id embeds), or 'resampler' (plus / plus-face)."""
+    rng = np.random.RandomState(seed)
+    cross = unet_cfg.cross_attention_dim
+
+    def r(*shape, s=0.02):
+        return (rng.randn(*shape) * s).astype(np.float32)
+
+    if variant == "linear":
+        proj = {
+            "proj.weight": r(num_tokens * cross, embed_dim),
+            "proj.bias": np.zeros(num_tokens * cross, np.float32),
+            "norm.weight": np.ones(cross, np.float32),
+            "norm.bias": np.zeros(cross, np.float32),
+        }
+    elif variant in ("mlp", "faceid"):
+        in_dim = 512 if variant == "faceid" else embed_dim
+        tokens = num_tokens if variant == "faceid" else 1
+        proj = {
+            "proj.0.weight": r(in_dim * 2, in_dim),
+            "proj.0.bias": np.zeros(in_dim * 2, np.float32),
+            "proj.2.weight": r(tokens * cross, in_dim * 2),
+            "proj.2.bias": np.zeros(tokens * cross, np.float32),
+            "norm.weight": np.ones(cross, np.float32),
+            "norm.bias": np.zeros(cross, np.float32),
+        }
+    elif variant == "resampler":
+        dim = max(cross, 64)
+        proj = {
+            "latents": r(1, 16, dim, s=1.0),
+            "proj_in.weight": r(dim, embed_dim),
+            "proj_in.bias": np.zeros(dim, np.float32),
+            "proj_out.weight": r(cross, dim),
+            "proj_out.bias": np.zeros(cross, np.float32),
+            "norm_out.weight": np.ones(cross, np.float32),
+            "norm_out.bias": np.zeros(cross, np.float32),
+        }
+        for i in range(2):
+            pre = f"layers.{i}"
+            proj.update({
+                f"{pre}.0.norm1.weight": np.ones(dim, np.float32),
+                f"{pre}.0.norm1.bias": np.zeros(dim, np.float32),
+                f"{pre}.0.norm2.weight": np.ones(dim, np.float32),
+                f"{pre}.0.norm2.bias": np.zeros(dim, np.float32),
+                f"{pre}.0.to_q.weight": r(dim, dim),
+                f"{pre}.0.to_kv.weight": r(2 * dim, dim),
+                f"{pre}.0.to_out.weight": r(dim, dim),
+                f"{pre}.1.0.weight": np.ones(dim, np.float32),
+                f"{pre}.1.0.bias": np.zeros(dim, np.float32),
+                f"{pre}.1.1.weight": r(4 * dim, dim),
+                f"{pre}.1.1.bias": np.zeros(4 * dim, np.float32),
+                f"{pre}.1.3.weight": r(dim, 4 * dim),
+                f"{pre}.1.3.bias": np.zeros(dim, np.float32),
+            })
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    ip = {}
+    dims = hidden_dims or cross_attn_hidden_dims(unet_cfg)
+    for li, hidden in enumerate(dims):
+        ip[f"{2*li+1}.to_k_ip.weight"] = r(hidden, cross, s=0.05)
+        ip[f"{2*li+1}.to_v_ip.weight"] = r(hidden, cross, s=0.05)
+    return {"image_proj": proj, "ip_adapter": ip}
 
 
 def load_ip_adapter(

@@ -152,7 +152,15 @@ def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
         if rng is None:
             raise ValueError("sample_mode='sample' requires an rng key")
         std = jnp.exp(0.5 * logvar)
-        z = mean + std * jax.random.normal(rng, mean.shape, jnp.float32)
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) and rng.ndim == 1:
+            # stacked per-sample keys: each sample's posterior draw depends
+            # only on its own key (batch-composition invariance)
+            eps = jax.vmap(
+                lambda k: jax.random.normal(k, mean.shape[1:], jnp.float32)
+            )(rng)
+        else:
+            eps = jax.random.normal(rng, mean.shape, jnp.float32)
+        z = mean + std * eps
     else:
         z = mean
     return z * cfg.scaling_factor

@@ -72,31 +72,56 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def _centered_gram_moments(qc, kc, q_mean, k_mean, scale, L, S):
+    """Per-(b,h) mean and centered sum of squares of s = scale * Q K^T from
+    centered Gram matrices. With qc = q - q_mean, kc = k - k_mean:
+
+        mean_bh = scale * <q_mean, k_mean>
+        M2_bh   = sum_{l,s} (s - mean_bh)^2
+                = scale^2 * [ tr(QcGram KcGram)
+                              + S * k_mean^T QcGram k_mean
+                              + L * q_mean^T KcGram q_mean ]
+
+    (exact: every cross term contains a centered sum, which is zero). All
+    three terms are non-negative, so unlike the raw-moment form
+    E[s^2] - E[s]^2 there is NO catastrophic cancellation — the variance
+    survives fp32 even at the largest latents (1920x1088, n ~ 4e7), where
+    the raw form loses it. Inputs are (B, H, *, D)-contracted einsums built
+    by the layout-specific wrappers below."""
+    qc_gram = jnp.einsum("bhld,bhle->bhde", qc, qc)
+    kc_gram = jnp.einsum("bhsd,bhse->bhde", kc, kc)
+    tr = jnp.einsum("bhde,bhde->bh", qc_gram, kc_gram)
+    term_q = S * jnp.einsum("bhd,bhde,bhe->bh", k_mean, qc_gram, k_mean)
+    term_k = L * jnp.einsum("bhd,bhde,bhe->bh", q_mean, kc_gram, q_mean)
+    means = jnp.einsum("bhd,bhd->bh", q_mean, k_mean) * scale
+    m2 = (tr + term_q + term_k) * (scale * scale)
+    return means, m2
+
+
 def logits_std_gram(q: jnp.ndarray, k: jnp.ndarray,
                     scale: float) -> jnp.ndarray:
     """Unbiased std of the full logits tensor s = scale * Q K^T computed
-    WITHOUT materializing s, via moment identities:
-
-        sum(s)   = scale * sum_bh <sum_l q, sum_s k>
-        sum(s^2) = scale^2 * sum_bh tr(Qgram_bh Kgram_bh),
-                   Qgram = sum_l q q^T, Kgram = sum_s k k^T
+    WITHOUT materializing s: centered per-(b,h) Gram moments
+    (``_centered_gram_moments``) combined by the parallel-variance rule.
 
     O(BH (L+S) D^2) instead of the reference's O(BH L S D) logits pass
     (attention_modify.py:90-95) — this is what makes the spatial-control
-    overhead vanish. All accumulation in fp32.
-    """
+    overhead vanish. All accumulation in fp32; the centered form is
+    cancellation-free (validated against an fp64 oracle at 1920x1088
+    shapes, tests/test_pallas.py)."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    n = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
-    q_sum = qf.sum(axis=2)  # (B, H, D)
-    k_sum = kf.sum(axis=2)
-    total = jnp.einsum("bhd,bhd->", q_sum, k_sum) * scale
-    q_gram = jnp.einsum("bhld,bhle->bhde", qf, qf)
-    k_gram = jnp.einsum("bhsd,bhse->bhde", kf, kf)
-    total_sq = jnp.einsum("bhde,bhde->", q_gram, k_gram) * (scale * scale)
-    mean = total / n
-    var = (total_sq - n * mean * mean) / (n - 1)
-    return jnp.sqrt(jnp.maximum(var, 0.0))
+    L, S = q.shape[2], k.shape[2]
+    q_mean = qf.mean(axis=2)  # (B, H, D)
+    k_mean = kf.mean(axis=2)
+    means, m2 = _centered_gram_moments(
+        qf - q_mean[:, :, None], kf - k_mean[:, :, None],
+        q_mean, k_mean, scale, L, S,
+    )
+    n = means.size * L * S
+    grand_mean = jnp.mean(means)
+    total_m2 = jnp.sum(m2) + (L * S) * jnp.sum((means - grand_mean) ** 2)
+    return jnp.sqrt(jnp.maximum(total_m2 / (n - 1), 0.0))
 
 
 def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -190,26 +215,38 @@ def attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def logits_std_gram_nlhd(q: jnp.ndarray, k: jnp.ndarray, scale: float,
                          axis_name: Optional[str] = None) -> jnp.ndarray:
-    """BTNH variant; with ``axis_name`` set (inside shard_map) the moment
-    sums are psum'd so the std stays global over the full batch — the ONLY
-    cross-device communication the sampling step needs (the reference's
-    std is global by definition, attention_modify.py:95)."""
+    """BTNH variant of ``logits_std_gram`` (q: (B, L, H, D)); with
+    ``axis_name`` set (inside shard_map) the scalar moment sums are psum'd
+    so the std stays global over the full batch — the ONLY cross-device
+    communication the sampling step needs (the reference's std is global by
+    definition, attention_modify.py:95)."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    n = q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
-    q_sum = qf.sum(axis=1)  # (B, H, D)
-    k_sum = kf.sum(axis=1)
-    total = jnp.einsum("bhd,bhd->", q_sum, k_sum) * scale
-    q_gram = jnp.einsum("blhd,blhe->bhde", qf, qf)
-    k_gram = jnp.einsum("bshd,bshe->bhde", kf, kf)
-    total_sq = jnp.einsum("bhde,bhde->", q_gram, k_gram) * (scale * scale)
+    L, S = q.shape[1], k.shape[1]
+    q_mean = qf.mean(axis=1)  # (B, H, D)
+    k_mean = kf.mean(axis=1)
+    qc = (qf - q_mean[:, None]).transpose(0, 2, 1, 3)  # (B, H, L, D)
+    kc = (kf - k_mean[:, None]).transpose(0, 2, 1, 3)
+    means, m2 = _centered_gram_moments(qc, kc, q_mean, k_mean, scale, L, S)
+    n_group = L * S
     if axis_name is not None:
-        total = jax.lax.psum(total, axis_name)
-        total_sq = jax.lax.psum(total_sq, axis_name)
-        n = n * jax.lax.psum(1, axis_name)
-    mean = total / n
-    var = (total_sq - n * mean * mean) / (n - 1)
-    return jnp.sqrt(jnp.maximum(var, 0.0))
+        # 4 scalar all-reduces: enough to reconstruct the global variance
+        # from per-device group stats (equal group sizes).
+        t_m2 = jax.lax.psum(jnp.sum(m2), axis_name)
+        t_mean = jax.lax.psum(jnp.sum(means), axis_name)
+        t_mean2 = jax.lax.psum(jnp.sum(means * means), axis_name)
+        groups = means.size * jax.lax.psum(1, axis_name)
+        grand_mean = t_mean / groups
+        between = jnp.maximum(t_mean2 - groups * grand_mean**2, 0.0)
+        total_m2 = t_m2 + n_group * between
+        n = groups * n_group
+    else:
+        grand_mean = jnp.mean(means)
+        total_m2 = (
+            jnp.sum(m2) + n_group * jnp.sum((means - grand_mean) ** 2)
+        )
+        n = means.size * n_group
+    return jnp.sqrt(jnp.maximum(total_m2 / (n - 1), 0.0))
 
 
 def region_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -38,8 +38,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
-            heads: int):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)  # (BL, Dp)
     k = k_ref[0].astype(jnp.float32)  # (Sp, Dp)
     s = jax.lax.dot_general(
@@ -104,7 +103,7 @@ def region_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (b * h, l_pad // block_l)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, heads=h),
+        functools.partial(_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
         grid=grid,
         in_specs=[

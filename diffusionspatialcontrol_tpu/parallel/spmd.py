@@ -96,6 +96,29 @@ def _sample_spmd(
     )(params, latents, context_pairs, region_biases_pairs, noise)
 
 
+#: Collective HLO ops the sampling program is allowed to contain. The only
+#: semantically required collective is the region-std moment psum
+#: (all-reduce); anything else (all-gather / all-to-all / collective-permute)
+#: means GSPMD re-introduced a reshard — the exact failure mode that
+#: deadlocked the round-1 dryrun (MULTICHIP_r01.json rc=134).
+_FORBIDDEN_COLLECTIVES = ("all-gather", "all-to-all", "collective-permute")
+
+
+def assert_only_allreduce(compiled_text: str) -> None:
+    """Raise if the compiled HLO contains any collective other than
+    all-reduce (see _FORBIDDEN_COLLECTIVES)."""
+    import re
+
+    for line in compiled_text.splitlines():
+        for op in _FORBIDDEN_COLLECTIVES:
+            # match HLO op names like "all-gather(", "all-gather-start("
+            if re.search(rf"= *\S+ +{op}[-.(]", line) or f" {op}(" in line:
+                raise AssertionError(
+                    f"forbidden collective {op!r} in compiled sampling "
+                    f"program: {line.strip()[:200]}"
+                )
+
+
 def sample_spmd(
     pipe,
     context: jnp.ndarray,  # (2B, S, D) [uncond..., cond...]
@@ -103,20 +126,25 @@ def sample_spmd(
     seeds,
     mesh: Mesh,
     region_biases: Optional[Tuple[jnp.ndarray, ...]] = None,
+    check_collectives: bool = False,
 ) -> jnp.ndarray:
     """Data-parallel sampling over ``mesh`` with explicit shardings.
 
+    With ``check_collectives`` the program is lowered and compiled first and
+    its HLO asserted to contain no collective beyond the region-std
+    all-reduce, then executed.
+
     Returns raw latents (B, h, w, 4); decode via pipe.decode_latents."""
+    from ..pipeline.pipeline import _keyed_normal, _seed_fold_keys
+
     sigmas, defaults = pipe._schedule(gen)
     seeds = [int(s) for s in seeds]
     batch = len(seeds)
-    keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-    k_lat = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    k_lat, k_noise = _seed_fold_keys(seeds, 2)
     shape = (batch, gen.latent_height, gen.latent_width, 4)
-    latents = jax.vmap(
-        lambda k: jax.random.normal(k, shape[1:], jnp.float32)
-    )(k_lat) * float(np.sqrt(sigmas[0] ** 2 + 1.0))
+    latents = _keyed_normal(k_lat, shape) * float(
+        np.sqrt(sigmas[0] ** 2 + 1.0)
+    )
 
     noise = pipe._solver_noise(k_noise, sigmas, shape, gen.sampler)
 
@@ -143,8 +171,7 @@ def sample_spmd(
         )
 
     opts = pipe._solver_opts(gen, defaults)
-    return _sample_spmd(
-        params, latents, pairs, bias_pairs, noise,
+    kwargs = dict(
         model_cfg=pipe.model_cfg,
         solver_name=gen.sampler,
         sigmas_key=tuple(float(s) for s in sigmas),
@@ -155,3 +182,9 @@ def sample_spmd(
         mesh=mesh,
         compute_dtype=gen.dtype,
     )
+    args = (params, latents, pairs, bias_pairs, noise)
+    if check_collectives:
+        compiled = _sample_spmd.lower(*args, **kwargs).compile()
+        assert_only_allreduce(compiled.as_text())
+        return compiled(*args)  # AOT executable: no second compile
+    return _sample_spmd(*args, **kwargs)

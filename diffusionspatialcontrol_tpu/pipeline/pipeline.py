@@ -115,6 +115,50 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _is_seed_list(seed) -> bool:
+    return isinstance(seed, (list, tuple, np.ndarray))
+
+
+def _seed_fold_keys(seed, folds: int):
+    """Derive ``folds`` independent PRNG keys from ``seed``.
+
+    Scalar seed: rows of ``jax.random.split(PRNGKey(seed), folds)`` (single
+    keys). List/array seed: each returned entry is a stacked (B,) key array
+    built by per-sample ``fold_in`` so every sample's noise streams depend
+    only on its own seed — results invariant to batch composition and mesh
+    shape (SURVEY.md §4 test item e)."""
+    if _is_seed_list(seed):
+        # typed key array (same threefry streams as PRNGKey): (B,) keys
+        keys = jax.vmap(jax.random.key)(
+            jnp.asarray([int(s) for s in seed], jnp.uint32)
+        )
+        return tuple(
+            jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys)
+            for i in range(folds)
+        )
+    key = jax.random.PRNGKey(seed)
+    return tuple(jax.random.split(key, folds))
+
+
+def _keyed_normal(k, shape, dtype=jnp.float32):
+    """Standard normal of ``shape``; ``k`` is a single key or stacked (B,)
+    per-sample keys (B = shape[0])."""
+    if jnp.issubdtype(k.dtype, jax.dtypes.prng_key) and k.ndim == 1:
+        return jax.vmap(
+            lambda kk: jax.random.normal(kk, shape[1:], dtype)
+        )(k)
+    return jax.random.normal(k, shape, dtype)
+
+
+def _next_seed(seed):
+    """seed + 1, elementwise for per-sample seed lists (hires recursion —
+    reference derives the hires pass's noise from a fresh seed,
+    model_k_diffusion.py:1179-1226)."""
+    if _is_seed_list(seed):
+        return [int(s) + 1 for s in seed]
+    return seed + 1
+
+
 def _interleave_cfg(a: jnp.ndarray) -> jnp.ndarray:
     """[u0..uB, c0..cB] -> [u0, c0, u1, c1, ...].
 
@@ -375,6 +419,55 @@ def _sample_core(
     return (x, hist) if return_history else x
 
 
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "solver_name", "sigmas_key", "guidance_scale",
+        "guidance_rescale", "attn_impl", "solver_opts", "compute_dtype",
+        "segment_size",
+    ),
+)
+def _sample_chunk(
+    params,
+    carry,  # None on the first chunk; the solver carry afterwards
+    latents,
+    context,
+    region_biases,
+    noise,
+    extras,
+    start,  # traced scalar step offset -> one program per segment_size
+    *,
+    model_cfg: ModelConfig,
+    solver_name: str,
+    sigmas_key: Tuple[float, ...],
+    guidance_scale: float,
+    guidance_rescale: float,
+    attn_impl: str,
+    solver_opts: Tuple[Tuple[str, Any], ...],
+    compute_dtype=jnp.bfloat16,
+    segment_size: int = 1,
+):
+    """One ``segment_size``-step chunk of the sampling scan (see
+    StableDiffusionTPU.sample_chunked)."""
+    sigmas = np.asarray(sigmas_key, np.float64)
+    table = schedules.ddpm_sigma_table(model_cfg)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    denoise = make_denoise_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=sigmas[:-1],
+    )
+    solver_fn, _, _ = solvers.SOLVERS[solver_name]
+    return solver_fn(
+        denoise, latents, sigmas, noise=noise,
+        carry_in=carry, segment=(start, segment_size), return_carry=True,
+        **dict(solver_opts),
+    )
+
+
 # ---------------------------------------------------------------------------
 # User-facing pipeline
 # ---------------------------------------------------------------------------
@@ -486,12 +579,19 @@ class StableDiffusionTPU:
         scales: Sequence[float],
         conditioning_factor: float = 1.0,
         do_cfg: bool = True,
+        base: Optional[DenoiseExtras] = None,
+        adapter_cfg=None,
     ) -> DenoiseExtras:
         from ..config import T2IAdapterConfig
         from ..models.t2i_adapter import multi_adapter_apply
 
+        if adapter_cfg is None:
+            # adapter trunk channels must mirror the UNet's levels
+            adapter_cfg = T2IAdapterConfig(
+                channels=self.model_cfg.unet.block_out_channels
+            )
         feats = multi_adapter_apply(
-            adapter_params, T2IAdapterConfig(),
+            adapter_params, adapter_cfg,
             [jnp.asarray(i, jnp.float32) for i in cond_images], scales
         )
         if do_cfg:
@@ -500,7 +600,10 @@ class StableDiffusionTPU:
         active = (
             np.arange(steps) < int(steps * conditioning_factor)
         ).astype(np.float32)
-        return DenoiseExtras(t2i_residuals=feats, t2i_active=tuple(active))
+        return dataclasses.replace(
+            base or DenoiseExtras(),
+            t2i_residuals=feats, t2i_active=tuple(active),
+        )
 
     def build_ip_extras(
         self,
@@ -597,6 +700,85 @@ class StableDiffusionTPU:
             uint8_output=uint8_output,
         )
 
+
+    def sample_chunked(
+        self,
+        context: jnp.ndarray,
+        gen: GenerationConfig,
+        seed=0,
+        region_biases=None,
+        batch_size: int = 1,
+        extras: Optional[DenoiseExtras] = None,
+        chunk_steps: int = 8,
+        on_chunk=None,
+        latents: Optional[jnp.ndarray] = None,
+        decode: bool = True,
+        uint8_output: bool = False,
+    ):
+        """txt2img with host re-entry every ``chunk_steps`` solver steps.
+
+        The reference asserts its inference timeout inside every model_fn
+        call (model_k_diffusion.py:1094-1095); an XLA scan admits no
+        mid-program host checks, so this runner splits the scan into
+        dynamic segments of one compiled program each and calls
+        ``on_chunk(steps_done, steps_total)`` between them — ``on_chunk``
+        may raise (e.g. ``Watchdog.check``) to cancel the run. All per-step
+        inputs come from the full static schedule and the solver carry is
+        threaded through unchanged, so results are BITWISE IDENTICAL to the
+        single-scan path (tests/test_solvers.py). Costs: at most three
+        compiled variants (first chunk, steady chunk, remainder) and a
+        host sync per chunk.
+        """
+        if gen.sampler not in solvers.CHUNKABLE:
+            raise ValueError(
+                f"solver {gen.sampler!r} does not support chunked "
+                f"execution (host-unrolled or adaptive)"
+            )
+        sigmas, defaults = self._schedule(gen)
+        if _is_seed_list(seed):
+            batch_size = len(seed)
+        k_lat, k_noise = _seed_fold_keys(seed, 2)
+        shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+        if latents is None:
+            latents = _keyed_normal(k_lat, shape)
+        latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
+        noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
+
+        n_total = solvers.scan_length(gen.sampler, sigmas)
+        opts = tuple(sorted(self._solver_opts(gen, defaults).items()))
+        carry = None
+        x = latents
+        pos = 0
+        while pos < n_total:
+            size = min(int(chunk_steps), n_total - pos)
+            x, carry = _sample_chunk(
+                self.params, carry, latents, context, region_biases,
+                noise, extras, jnp.int32(pos),
+                model_cfg=self.model_cfg,
+                solver_name=gen.sampler,
+                sigmas_key=tuple(float(v) for v in sigmas),
+                guidance_scale=gen.guidance_scale,
+                guidance_rescale=gen.guidance_rescale,
+                attn_impl=self.attn_impl,
+                solver_opts=opts,
+                compute_dtype=gen.dtype,
+                segment_size=size,
+            )
+            # real re-entry point: wait for the chunk before checking
+            # (note: on the axon relay block_until_ready is advisory —
+            # see CLAUDE.md — so wall-clock there is approximate)
+            jax.block_until_ready(x)
+            pos += size
+            if on_chunk is not None:
+                on_chunk(pos, n_total)
+        if decode:
+            x = self.decode_latents(x)
+            if uint8_output:
+                x = jnp.round(
+                    jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+        return x
+
     def txt2img(
         self,
         context: jnp.ndarray,
@@ -624,23 +806,12 @@ class StableDiffusionTPU:
         invariant to batch composition and mesh shape (SURVEY.md §4 item e).
         """
         sigmas, defaults = self._schedule(gen)
-        if isinstance(seed, (list, tuple, np.ndarray)):
-            seeds = [int(s) for s in seed]
-            batch_size = len(seeds)
-            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-            k_lat = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-            k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-            shape = (batch_size, gen.latent_height, gen.latent_width, 4)
-            if latents is None:
-                latents = jax.vmap(
-                    lambda k: jax.random.normal(k, shape[1:], jnp.float32)
-                )(k_lat)
-        else:
-            key = jax.random.PRNGKey(seed)
-            k_lat, k_noise = jax.random.split(key)
-            shape = (batch_size, gen.latent_height, gen.latent_width, 4)
-            if latents is None:
-                latents = jax.random.normal(k_lat, shape, jnp.float32)
+        if _is_seed_list(seed):
+            batch_size = len(seed)
+        k_lat, k_noise = _seed_fold_keys(seed, 2)
+        shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+        if latents is None:
+            latents = _keyed_normal(k_lat, shape)
         latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
 
         noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
@@ -680,7 +851,7 @@ class StableDiffusionTPU:
         return self.img2img(
             context, up, gen_hr,
             strength=float(hires.get("strength", 0.6)),
-            seed=seed + 1, region_biases=hr_biases,
+            seed=_next_seed(seed), region_biases=hr_biases,
             decode=decode, extras=extras,
         )
 
@@ -696,7 +867,10 @@ class StableDiffusionTPU:
         extras: Optional[DenoiseExtras] = None,
     ):
         """img2img: truncate the schedule by strength and noise the init
-        latents (reference: model_k_diffusion.py:628-655)."""
+        latents (reference: model_k_diffusion.py:628-655).
+
+        ``seed`` may be a list with one entry per batch element, giving each
+        sample its own noise stream (same contract as ``txt2img``)."""
         sigmas, defaults = self._schedule(gen)
         init_timestep = min(
             int(gen.num_inference_steps * strength), gen.num_inference_steps
@@ -704,9 +878,13 @@ class StableDiffusionTPU:
         t_start = max(gen.num_inference_steps - init_timestep, 0)
         sigma_sched = sigmas[t_start:]
 
-        key = jax.random.PRNGKey(seed)
-        k_lat, k_noise = jax.random.split(key)
-        noise0 = jax.random.normal(k_lat, init_latents.shape, jnp.float32)
+        if _is_seed_list(seed) and len(seed) != init_latents.shape[0]:
+            raise ValueError(
+                f"img2img seed list length {len(seed)} != batch "
+                f"{init_latents.shape[0]}"
+            )
+        k_lat, k_noise = _seed_fold_keys(seed, 2)
+        noise0 = _keyed_normal(k_lat, init_latents.shape)
         latents = init_latents + noise0 * float(
             np.sqrt(sigma_sched[0] ** 2 + 1.0)
         )
@@ -732,9 +910,16 @@ class StableDiffusionTPU:
 
         4-channel UNets blend the init latents back each step outside the
         mask; 9-channel inpaint UNets additionally receive
-        [mask, masked_image_latents] channels."""
-        key = jax.random.PRNGKey(seed)
-        k_enc, k_lat, k_noise, k_blend = jax.random.split(key, 4)
+        [mask, masked_image_latents] channels.
+
+        ``seed`` may be a list with one entry per batch element (same
+        contract as ``txt2img``)."""
+        if _is_seed_list(seed) and len(seed) != init_image.shape[0]:
+            raise ValueError(
+                f"inpaint seed list length {len(seed)} != batch "
+                f"{init_image.shape[0]}"
+            )
+        k_enc, k_lat, k_noise, k_blend = _seed_fold_keys(seed, 4)
         b, h, w, _ = init_image.shape
         latent_shape = (b, h // 8, w // 8, 4)
 
@@ -769,8 +954,7 @@ class StableDiffusionTPU:
                 extra_ch = jnp.concatenate([extra_ch, extra_ch], axis=0)
             extras = dataclasses.replace(extras, extra_channels=extra_ch)
         else:
-            blend_noise = jax.random.normal(k_blend, latent_shape,
-                                            jnp.float32)
+            blend_noise = _keyed_normal(k_blend, latent_shape)
             extras = dataclasses.replace(
                 extras,
                 inpaint_mask=mask_l,
@@ -779,10 +963,10 @@ class StableDiffusionTPU:
             )
 
         if strength >= 1.0 or nine_channel:
-            latents = jax.random.normal(k_lat, latent_shape, jnp.float32)
+            latents = _keyed_normal(k_lat, latent_shape)
             latents = latents * float(np.sqrt(sigma_sched[0] ** 2 + 1.0))
         else:
-            noise0 = jax.random.normal(k_lat, latent_shape, jnp.float32)
+            noise0 = _keyed_normal(k_lat, latent_shape)
             latents = image_latents + noise0 * float(
                 np.sqrt(sigma_sched[0] ** 2 + 1.0)
             )

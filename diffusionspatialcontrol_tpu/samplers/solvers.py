@@ -69,6 +69,32 @@ def _default_noise(noise, n_steps, x, per_step=1):
     return noise
 
 
+def _seg_scan(body, init_carry, xs, carry_in=None, segment=None):
+    """Run the solver scan, optionally over a dynamic segment of the
+    precomputed step inputs.
+
+    ``segment``: (start, size) — start may be a traced scalar, size is
+    static, so ONE compiled program serves every equally-sized chunk.
+    ``carry_in``: carry returned by the previous chunk (None on the first).
+    Because all position-dependent math lives in ``xs`` (built from the
+    full schedule) and the carry is threaded through unchanged, a chunked
+    run is bitwise identical to the single-scan run."""
+    carry = init_carry if carry_in is None else carry_in
+    if segment is not None:
+        start, size = segment
+        xs = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, start, size), xs
+        )
+    return jax.lax.scan(body, carry, xs)
+
+
+def _seg_result(x, carry, hist, return_history, return_carry):
+    if return_carry:
+        return (x, carry, hist) if return_history else (x, carry)
+    return (x, hist) if return_history else x
+
+
+
 # ---------------------------------------------------------------------------
 # First-order
 # ---------------------------------------------------------------------------
@@ -76,7 +102,8 @@ def _default_noise(noise, n_steps, x, per_step=1):
 
 def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                 **_):
+                 carry_in=None, segment=None,
+                 return_carry=False, **_):
     xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
 
     def body(x, s):
@@ -86,13 +113,14 @@ def sample_euler(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + d * (sigma_next - sigma)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_euler_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False,
-                           noise=None, eta=1.0, s_noise=1.0, **_):
+                           noise=None, eta=1.0, s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """noise: (n_steps, *x.shape)."""
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
     nz = _default_noise(noise, len(sigmas) - 1, x)
@@ -106,13 +134,14 @@ def sample_euler_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + z * (s_noise * sigma_up)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-               s_noise=1.0, **_):
+               s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """Reference: samplers_extra_k_diffusion.py:108-120."""
     nz = _default_noise(noise, len(sigmas) - 1, x)
     xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]), nz[:, 0])
@@ -123,13 +152,14 @@ def sample_lcm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = denoised + jnp.where(sigma_next > 0, sigma_next, 0.0) * z
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                s_noise=1.0, **_):
+                s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """DDPM ancestral stepping in the reference's sqrt(1+sigma^2)-rescaled
     space (reference: samplers_extra_k_diffusion.py:76-104)."""
     nz = _default_noise(noise, len(sigmas) - 1, x)
@@ -153,8 +183,8 @@ def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = mu * jnp.where(sigma_next > 0, jnp.sqrt(1.0 + sigma_next**2), 1.0)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +193,8 @@ def sample_ddpm(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
 
 
 def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
-                 return_history=False, noise=None, **_):
+                 return_history=False, noise=None, carry_in=None, segment=None,
+                 return_carry=False, **_):
     xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]))
 
     def body(x, s):
@@ -180,13 +211,14 @@ def sample_heun(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = jnp.where(sigma_next == 0, x_euler, x_heun)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                   **_):
+                   carry_in=None, segment=None,
+                 return_carry=False, **_):
     """Heun++ third-order weighted sampler
     (reference: samplers_extra_k_diffusion.py:123-176)."""
     n = len(sigmas) - 1
@@ -232,13 +264,14 @@ def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = jnp.where(br == 0, x_euler, jnp.where(br == 1, x_heun, x_pp))
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                 **_):
+                 carry_in=None, segment=None,
+                 return_carry=False, **_):
     sig, sig_next = sigmas[:-1], sigmas[1:]
     with np.errstate(divide="ignore", invalid="ignore"):
         sigma_mid = np.exp(
@@ -260,13 +293,14 @@ def sample_dpm_2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = jnp.where(sigma_next == 0, x_euler, x_dpm)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_dpm_2_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False,
-                           noise=None, eta=1.0, s_noise=1.0, **_):
+                           noise=None, eta=1.0, s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
     sig = sigmas[:-1]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -291,8 +325,8 @@ def sample_dpm_2_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + z * (s_noise * sigma_up)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +357,8 @@ def _lms_coeffs(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
 
 def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-               order: int = 4, **_):
+               order: int = 4, carry_in=None, segment=None,
+                 return_carry=False, **_):
     n = len(sigmas) - 1
     coeffs = _lms_coeffs(sigmas, order)
     xs = (_f32(sigmas[:-1]), _f32(coeffs))
@@ -340,8 +375,9 @@ def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + update
         return (x, d_hist), x
 
-    (x, _), hist = jax.lax.scan(body, (x, d_hist), xs)
-    return (x, hist) if return_history else x
+    carry, hist = _seg_scan(body, (x, d_hist), xs, carry_in, segment)
+    x = carry[0]
+    return _seg_result(x, carry, hist, return_history, return_carry)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +387,8 @@ def sample_lms(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
 
 def sample_dpmpp_2s_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False,
-                              noise=None, eta=1.0, s_noise=1.0, **_):
+                              noise=None, eta=1.0, s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     down, up = get_ancestral_step(sigmas[:-1], sigmas[1:], eta)
     sig = sigmas[:-1]
     # t-space: t = -log(sigma); s = t + h/2; sigma_s = exp(-s)
@@ -379,13 +416,14 @@ def sample_dpmpp_2s_ancestral(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + z * (s_noise * sigma_up)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                    **_):
+                    carry_in=None, segment=None,
+                 return_carry=False, **_):
     """DPM-Solver++(2M) — the reference's headline sampler
     (README.md:69 'DPM++ 2M Karras')."""
     n = len(sigmas) - 1
@@ -419,13 +457,16 @@ def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = ratio * x - em1 * d_use
         return (x, denoised), x
 
-    (x, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
-    return (x, hist) if return_history else x
+    carry, hist = _seg_scan(body, (x, jnp.zeros_like(x)), xs,
+                            carry_in, segment)
+    x = carry[0]
+    return _seg_result(x, carry, hist, return_history, return_carry)
 
 
 def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                     eta=1.0, s_noise=1.0, r=0.5, **_):
+                     eta=1.0, s_noise=1.0, r=0.5, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """DPM++ SDE. noise: (n_steps, 2, *x.shape) — two draws per step
     (k-diffusion uses a Brownian tree; see samplers/brownian.py)."""
     n = len(sigmas) - 1
@@ -476,14 +517,15 @@ def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = jnp.where(is_final, x_euler, x_sde)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def sample_dpmpp_2m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False,
                         noise=None, eta=1.0, s_noise=1.0,
-                        solver_type="midpoint", **_):
+                        solver_type="midpoint", carry_in=None, segment=None,
+                 return_carry=False, **_):
     if solver_type not in ("midpoint", "heun"):
         raise ValueError(f"invalid solver_type {solver_type}")
     n = len(sigmas) - 1
@@ -525,13 +567,16 @@ def sample_dpmpp_2m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + z * (s_noise * nstd)
         return (x, denoised), x
 
-    (x, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
-    return (x, hist) if return_history else x
+    carry, hist = _seg_scan(body, (x, jnp.zeros_like(x)), xs,
+                            carry_in, segment)
+    x = carry[0]
+    return _seg_result(x, carry, hist, return_history, return_carry)
 
 
 def sample_dpmpp_3m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False,
-                        noise=None, eta=1.0, s_noise=1.0, **_):
+                        noise=None, eta=1.0, s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     n = len(sigmas) - 1
     sig, sig_next = sigmas[:-1], sigmas[1:]
     final = sig_next == 0
@@ -582,9 +627,11 @@ def sample_dpmpp_3m_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + z * (s_noise * nstd)
         return (x, denoised, d1m), x
 
-    (x, _, _), hist = jax.lax.scan(body, (x, jnp.zeros_like(x),
-                                          jnp.zeros_like(x)), xs)
-    return (x, hist) if return_history else x
+    carry, hist = _seg_scan(body, (x, jnp.zeros_like(x),
+                                   jnp.zeros_like(x)), xs,
+                            carry_in, segment)
+    x = carry[0]
+    return _seg_result(x, carry, hist, return_history, return_carry)
 
 
 # ---------------------------------------------------------------------------
@@ -631,7 +678,8 @@ def _restart_plan(sigmas: np.ndarray, restart_list=None):
 
 def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
-                   s_noise=1.0, restart_list=None, **_):
+                   s_noise=1.0, restart_list=None, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """noise: (len(step_list), *x.shape); use restart_plan_len to size it."""
     step_list = _restart_plan(sigmas, restart_list)
     old_s = np.array([s[0] for s in step_list])
@@ -657,8 +705,8 @@ def sample_restart(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = jnp.where(new_sigma == 0, x_euler, x_heun)
         return x, x
 
-    x, hist = jax.lax.scan(body, x, xs)
-    return (x, hist) if return_history else x
+    x, hist = _seg_scan(body, x, xs, carry_in, segment)
+    return _seg_result(x, x, hist, return_history, return_carry)
 
 
 def restart_plan_len(sigmas: np.ndarray, restart_list=None) -> int:
@@ -751,10 +799,13 @@ def _dpm_3_step(denoise, x, t, t_next, eps, r1=1.0 / 3, r2=2.0 / 3):
 
 def sample_dpm_fast(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                     return_history=False, noise=None, eta=0.0, s_noise=1.0,
-                    **_):
+                    carry_in=None, segment=None,
+                 return_carry=False, **_):
     """k-diffusion sample_dpm_fast: fixed t-uniform segments with order
     pattern [3, 3, ..., tail]. sigma range = (sigmas[-2], sigmas[0]) as the
     reference passes for img2img."""
+    if segment is not None or carry_in is not None or return_carry:
+        raise ValueError(f"{'sample_dpm_fast'} does not support chunked execution")
     n = len(sigmas) - 1
     sigma_min = float(sigmas[-2])
     sigma_max = float(sigmas[0])
@@ -786,9 +837,12 @@ def sample_dpm_adaptive(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                         return_history=False, noise=None, order=3,
                         rtol=0.05, atol=0.0078, h_init=0.05, pcoeff=0.0,
                         icoeff=1.0, dcoeff=0.0, accept_safety=0.81,
-                        max_steps=200, **_):
+                        max_steps=200, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """k-diffusion sample_dpm_adaptive: embedded-order error control with a
     PID step-size controller, as a bounded lax.while_loop."""
+    if segment is not None or carry_in is not None or return_carry:
+        raise ValueError(f"{'sample_dpm_adaptive'} does not support chunked execution")
     sigma_min = float(sigmas[-2])
     sigma_max = float(sigmas[0])
     t_start, t_end = -np.log(sigma_max), -np.log(sigma_min)
@@ -857,7 +911,8 @@ SOLVERS["dpm_adaptive"] = (sample_dpm_adaptive, 0, {})
 
 def sample_unipc(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None, solver_type="bh2",
-                 order=2, **_):
+                 order=2, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """UniPC multistep predictor-corrector (order 2), sigma-space data
     prediction (UniPCMultistepScheduler semantics; solver_type bh1:
     B(h)=h, bh2: B(h)=expm1(h) — 'UniPC Time Uniform 1/2' in the reference
@@ -955,12 +1010,14 @@ def sample_unipc(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         return (x_next, x_c, m_i, m_prev), x_next
 
     init = (x, x, jnp.zeros_like(x), jnp.zeros_like(x))
-    (x_fin, _, _, _), hist = jax.lax.scan(body, init, xs)
-    return (x_fin, hist) if return_history else x_fin
+    carry, hist = _seg_scan(body, init, xs, carry_in, segment)
+    x_fin = carry[0]
+    return _seg_result(x_fin, carry, hist, return_history, return_carry)
 
 
 def sample_deis(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
-                return_history=False, noise=None, order=3, **_):
+                return_history=False, noise=None, order=3, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """DEIS (rho-parameterized exponential integrator): Adams-Bashforth
     multistep on the eps prediction over sigma — exact polynomial
     integration of extrapolated eps ('DEIS' in the reference UI)."""
@@ -978,8 +1035,9 @@ def sample_deis(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         x = x + jnp.einsum("o,o...->...", cs, d_hist)
         return (x, d_hist), x
 
-    (x, _), hist = jax.lax.scan(body, (x, d_hist), xs)
-    return (x, hist) if return_history else x
+    carry, hist = _seg_scan(body, (x, d_hist), xs, carry_in, segment)
+    x = carry[0]
+    return _seg_result(x, carry, hist, return_history, return_carry)
 
 
 SOLVERS["unipc_bh1"] = (sample_unipc, 0, {"solver_type": "bh1"})
@@ -1017,7 +1075,8 @@ def _sa_coeffs(lams_pts, lam_s, lam_t, c):
 
 def sample_sa_solver(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                      return_history=False, noise=None, tau_t_range=(0.2, 0.8),
-                     tau_value=1.0, s_noise=1.0, **_):
+                     tau_value=1.0, s_noise=1.0, carry_in=None, segment=None,
+                 return_carry=False, **_):
     """SA-Solver, predictor order 2 + corrector order 2, data prediction.
 
     tau(t) follows the paper/diffusers default: stochasticity tau_value for
@@ -1102,8 +1161,26 @@ def sample_sa_solver(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
         return (x_next, x_c, m_i), x_next
 
     init = (x, x, jnp.zeros_like(x))
-    (x_fin, _, _), hist = jax.lax.scan(body, init, xs)
-    return (x_fin, hist) if return_history else x_fin
+    carry, hist = _seg_scan(body, init, xs, carry_in, segment)
+    x_fin = carry[0]
+    return _seg_result(x_fin, carry, hist, return_history, return_carry)
 
 
 SOLVERS["sa_solver"] = (sample_sa_solver, 1, {})
+
+
+# ---------------------------------------------------------------------------
+# Chunked execution support (host re-entry between scan segments)
+# ---------------------------------------------------------------------------
+
+#: Solvers that support (carry_in, segment, return_carry) chunked execution.
+#: dpm_fast is host-unrolled and dpm_adaptive is a while_loop — neither has
+#: a sliceable scan.
+CHUNKABLE = frozenset(SOLVERS) - {"dpm_fast", "dpm_adaptive"}
+
+
+def scan_length(solver_name: str, sigmas: np.ndarray) -> int:
+    """Total scan steps for a schedule (restart expands the plan)."""
+    if solver_name == "restart":
+        return restart_plan_len(sigmas)
+    return len(sigmas) - 1

@@ -13,19 +13,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..ops.preprocess import resize_nearest
+
 
 def mask_from_grayscale_map(gray: np.ndarray) -> np.ndarray:
     """Reference convention: drawn region = value < 255
     (encode_region_map_function.py:49)."""
     return (np.asarray(gray) < 255).astype(np.float32)
-
-
-def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Nearest-neighbor resize (host-side, numpy)."""
-    src_h, src_w = img.shape[:2]
-    ys = (np.arange(h) * src_h / h).astype(int).clip(0, src_h - 1)
-    xs = (np.arange(w) * src_w / w).astype(int).clip(0, src_w - 1)
-    return img[np.ix_(ys, xs)]
 
 
 def unique_colors(image: np.ndarray, threshold: float = 0.01
@@ -65,15 +59,13 @@ def extract_color_masks(color_map: np.ndarray,
         img = np.stack([img] * 3, -1)
     img = img[..., :3].copy()
 
-    colors = unique_colors(img, coverage_threshold)
     # remap pure black to a fresh color so black regions are preserved
-    black = (0, 0, 0)
-    if True:
-        rng = np.random.RandomState(0)
+    colors = unique_colors(img, coverage_threshold)
+    rng = np.random.RandomState(0)
+    new = tuple(int(c) for c in rng.randint(1, 256, 3))
+    while new in colors:
         new = tuple(int(c) for c in rng.randint(1, 256, 3))
-        while new in colors:
-            new = tuple(int(c) for c in rng.randint(1, 256, 3))
-        img[np.all(img == black, axis=-1)] = new
+    img[np.all(img == (0, 0, 0), axis=-1)] = new
     colors = unique_colors(img, coverage_threshold)
 
     masks = []
@@ -129,7 +121,7 @@ def create_mixed_img(state: Dict[str, Dict], width: int, height: int,
         mask = item.get("mask")
         if mask is None:
             continue
-        m = resize_nearest(np.asarray(mask), width, height) > 0.5
+        m = resize_nearest(np.asarray(mask), height, width) > 0.5
         alpha = 200 if key == selected else 150
         color = _PALETTE[idx % len(_PALETTE)]
         out[m] = np.concatenate([color, [alpha]])

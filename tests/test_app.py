@@ -183,3 +183,107 @@ def test_profiling_utils():
     with pytest.raises(TimeoutError):
         w.check()
     Watchdog(timeout_s=100).check()  # no raise
+
+
+def test_inference_all_unit_types_at_once(manager):
+    """ControlNet + T2I-Adapter + IP-Adapter through the single inference()
+    entry point (reference contract: one call drives every unit,
+    app.py:924-997, 1021-1096)."""
+    from diffusionspatialcontrol_tpu.app.api import (
+        ControlNetUnit,
+        IPAdapterUnit,
+        T2IAdapterUnit,
+    )
+    from diffusionspatialcontrol_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+    )
+
+    manager.register_image_encoder(cfg=CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, projection_dim=32,
+    ))
+    cond = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_img = (np.random.RandomState(1).rand(32, 32, 3) * 255).astype(
+        np.uint8
+    )
+    kwargs = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=3,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+    )
+    base = inference(manager, **kwargs)
+    result = inference(
+        manager,
+        controlnet_units=[ControlNetUnit(model="Canny", image=cond,
+                                         scale=0.8)],
+        t2i_units=[T2IAdapterUnit(model="Sketch", image=cond, scale=0.7,
+                                  conditioning_factor=0.5)],
+        ip_adapter_units=[IPAdapterUnit(model="IP-Adapter", image=ref_img,
+                                        scale=0.6)],
+        **kwargs,
+    )
+    assert result["images"].shape == (1, 64, 64, 3)
+    # units must change the output (controlnet fallback trunk is zero-init
+    # no-op, but t2i/ip random weights are not)
+    assert not np.array_equal(result["images"], base["images"])
+    # the manager's cached UNet must NOT have been mutated by the
+    # IP-Adapter install
+    _, params, _ = manager.get("tiny")
+    assert "ip" not in params["unet"]["mid_block"]["attention"]["blocks"][0][
+        "attn2"
+    ]
+    # and a later plain call still works unchanged
+    again = inference(manager, **kwargs)
+    np.testing.assert_array_equal(again["images"], base["images"])
+
+
+def test_inference_ip_adapter_variants(manager):
+    from diffusionspatialcontrol_tpu.app.api import IPAdapterUnit
+
+    ref_img = (np.random.RandomState(2).rand(48, 48, 3) * 255).astype(
+        np.uint8
+    )
+    kwargs = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=2,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+    )
+    outs = {}
+    for variant in ("IP-Adapter Plus", "IP-Adapter FaceID"):
+        r = inference(
+            manager,
+            ip_adapter_units=[IPAdapterUnit(model=variant, image=ref_img,
+                                            scale=0.5)],
+            **kwargs,
+        )
+        outs[variant] = r["images"]
+    assert not np.array_equal(outs["IP-Adapter Plus"],
+                              outs["IP-Adapter FaceID"])
+
+    # spatial mask gating changes the result
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    masked = inference(
+        manager,
+        ip_adapter_units=[IPAdapterUnit(model="IP-Adapter Plus",
+                                        image=ref_img, scale=0.5,
+                                        mask=mask)],
+        **kwargs,
+    )
+    assert not np.array_equal(masked["images"], outs["IP-Adapter Plus"])
+
+
+def test_face_embed_contract():
+    from diffusionspatialcontrol_tpu.ops.face_embed import (
+        embed_face,
+        embed_faces,
+    )
+
+    img = (np.random.RandomState(3).rand(80, 64, 3) * 255).astype(np.uint8)
+    e1 = embed_face(img)
+    e2 = embed_face(img)
+    assert e1.shape == (512,) and e1.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(e1), 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(e1, e2)  # deterministic
+    other = embed_face(255 - img)
+    assert not np.allclose(e1, other)
+    multi = embed_faces([img, 255 - img])
+    np.testing.assert_allclose(np.linalg.norm(multi), 1.0, rtol=1e-5)

@@ -178,3 +178,43 @@ def test_hires_with_region_reencode(pipe):
         hires={"scale": 2.0, "strength": 0.5},
     )
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_hires_with_seed_list(pipe):
+    """Per-sample seed lists survive the hires recursion (the hires pass
+    derives seed+1 per sample) and stay batch-composition invariant."""
+    ctx2, _ = pipe.encode_prompt(["a cat"] * 2, [""] * 2)
+    ctx1, _ = pipe.encode_prompt(["a cat"], [""])
+    hires = {"scale": 2.0, "strength": 0.5, "mode": "bilinear"}
+    batch = pipe.txt2img(ctx2, GEN, seed=[7, 9], hires=dict(hires))
+    assert batch.shape == (2, 128, 128, 3)
+    solo = pipe.txt2img(ctx1, GEN, seed=[9], hires=dict(hires))
+    np.testing.assert_allclose(
+        np.asarray(batch[1]), np.asarray(solo[0]), atol=1e-4
+    )
+
+
+def test_img2img_seed_list_batch_invariance(pipe):
+    ctx2, _ = pipe.encode_prompt(["a cat"] * 2, [""] * 2)
+    ctx1, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 4))
+    batch = pipe.img2img(ctx2, init, GEN, strength=0.5, seed=[5, 6],
+                         decode=False)
+    solo = pipe.img2img(ctx1, init[1:], GEN, strength=0.5, seed=[6],
+                        decode=False)
+    np.testing.assert_allclose(
+        np.asarray(batch[1]), np.asarray(solo[0]), atol=1e-4
+    )
+    with pytest.raises(ValueError):
+        pipe.img2img(ctx2, init, GEN, seed=[1, 2, 3])
+
+
+def test_inpaint_seed_list(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = jnp.asarray(np.ones((1, 64, 64), np.float32))
+    a = pipe.inpaint(ctx, init, mask, GEN, seed=[4], decode=False)
+    b = pipe.inpaint(ctx, init, mask, GEN, seed=[4], decode=False)
+    c = pipe.inpaint(ctx, init, mask, GEN, seed=[5], decode=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))

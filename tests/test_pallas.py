@@ -143,3 +143,59 @@ def test_nlhd_kernels_match_bhld():
         jnp.asarray(q).transpose(0, 2, 1, 3),
     ).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-5)
+
+
+def _std_fp64_oracle(q, k, scale):
+    """Unbiased std of scale * Q K^T in float64 numpy (host)."""
+    qf = np.asarray(q, np.float64)  # (B, L, H, D)
+    kf = np.asarray(k, np.float64)
+    logits = np.einsum("blhd,bshd->bhls", qf, kf) * scale
+    return logits.std(ddof=1)
+
+
+@pytest.mark.parametrize("mean_shift", [0.0, 0.5])
+def test_gram_std_small_shapes_vs_fp64(mean_shift):
+    """Centered-Gram std vs fp64 oracle, incl. the mean>>std regime that
+    breaks the raw E[s^2]-E[s]^2 form."""
+    rng = np.random.default_rng(0)
+    q = (rng.standard_normal((2, 64, 4, 16)) * 0.05 + mean_shift).astype(
+        np.float32
+    )
+    k = (rng.standard_normal((2, 11, 4, 16)) * 0.05 + mean_shift).astype(
+        np.float32
+    )
+    scale = 16**-0.5
+    got = float(attn_ops.logits_std_gram_nlhd(
+        jnp.asarray(q), jnp.asarray(k), scale
+    ))
+    want = _std_fp64_oracle(q, k, scale)
+    assert abs(got - want) / want < 1e-4
+
+
+def test_gram_std_largest_latent_shape_vs_fp64():
+    """1920x1088 latents (L=32640, the largest shape the reference
+    demonstrates): fp32 centered-Gram std must hold <1e-4 relative error
+    against the fp64 oracle even with a strong common mean (the
+    cancellation-prone regime for raw moment accumulation)."""
+    rng = np.random.default_rng(1)
+    L = (1920 // 8) * (1088 // 8)  # 32640
+    q = (rng.standard_normal((1, L, 8, 40)) * 0.03 + 0.4).astype(np.float32)
+    k = (rng.standard_normal((1, 77, 8, 40)) * 0.03 + 0.4).astype(np.float32)
+    scale = 40**-0.5
+    got = float(attn_ops.logits_std_gram_nlhd(
+        jnp.asarray(q), jnp.asarray(k), scale
+    ))
+    want = _std_fp64_oracle(q, k, scale)
+    assert abs(got - want) / want < 1e-4, (got, want)
+
+
+def test_gram_std_bhld_matches_nlhd():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((2, 32, 4, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 9, 4, 16)).astype(np.float32)
+    scale = 0.25
+    a = float(attn_ops.logits_std_gram(
+        jnp.asarray(q.transpose(0, 2, 1, 3)), jnp.asarray(k.transpose(0, 2, 1, 3)), scale
+    ))
+    b = float(attn_ops.logits_std_gram_nlhd(jnp.asarray(q), jnp.asarray(k), scale))
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -346,3 +346,93 @@ def test_dpmpp_2m_sde_matches_reference_recurrence():
         d_jnp, jnp.asarray(x), sigmas, noise=jnp.asarray(noise), eta=eta
     )
     np.testing.assert_allclose(np.asarray(out), xr, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Chunked execution (in-scan cancellation support)
+# ---------------------------------------------------------------------------
+
+
+class _CountingDenoise:
+    """Cheap denoiser standing in for the UNet (solver math is what's
+    under test)."""
+
+    def __call__(self, x, sigma):
+        return x / (1.0 + sigma)
+
+
+@pytest.mark.parametrize("solver", sorted(
+    __import__(
+        "diffusionspatialcontrol_tpu.samplers.solvers",
+        fromlist=["CHUNKABLE"],
+    ).CHUNKABLE
+))
+def test_chunked_scan_bitwise_identical(solver):
+    """Running every chunkable solver in (3, 3, 1)-step segments with carry
+    threading must reproduce the single-scan result BITWISE."""
+    import numpy as _np
+
+    from diffusionspatialcontrol_tpu.samplers import solvers as S
+
+    fn, draws, defaults = S.SOLVERS[solver]
+    opts = {k: v for k, v in defaults.items()
+            if k not in ("discard_next_to_last_sigma", "brownian")}
+    sigmas = _np.concatenate(
+        [_np.geomspace(10.0, 0.1, 7), [0.0]]
+    )
+    x0 = jnp.asarray(
+        _np.random.RandomState(0).randn(2, 4, 4, 3), jnp.float32
+    )
+    n_total = S.scan_length(solver, sigmas)
+    noise = None
+    if draws or solver == "restart":
+        per = max(draws, 1)
+        noise = jnp.asarray(
+            _np.random.RandomState(1).randn(n_total, per, 2, 4, 4, 3),
+            jnp.float32,
+        )
+    denoise = _CountingDenoise()
+
+    full = fn(denoise, x0, sigmas, noise=noise, **opts)
+
+    carry = None
+    pos = 0
+    x = x0
+    while pos < n_total:
+        size = min(3, n_total - pos)
+        x, carry = fn(
+            denoise, x0, sigmas, noise=noise, carry_in=carry,
+            segment=(jnp.int32(pos), size), return_carry=True, **opts,
+        )
+        pos += size
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(x))
+
+
+def test_chunked_pipeline_matches_and_cancels():
+    from tests.test_pipeline import GEN, TINY
+    from diffusionspatialcontrol_tpu.models import factory
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        StableDiffusionTPU,
+    )
+    from diffusionspatialcontrol_tpu.text.tokenizer import HashTokenizer
+
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), TINY, jnp.float32
+    )
+    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    single = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+    calls = []
+    chunked = pipe.sample_chunked(
+        ctx, GEN, seed=3, decode=False, chunk_steps=3,
+        on_chunk=lambda done, total: calls.append((done, total)),
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
+    assert calls == [(3, 4), (4, 4)]
+
+    def abort(done, total):
+        raise TimeoutError("watchdog fired")
+
+    with pytest.raises(TimeoutError):
+        pipe.sample_chunked(ctx, GEN, seed=3, decode=False, chunk_steps=1,
+                            on_chunk=abort)
