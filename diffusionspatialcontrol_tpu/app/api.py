@@ -45,6 +45,11 @@ class ControlNetUnit:
     guidance_start: float = 0.0
     guidance_end: float = 1.0
     guess_mode: bool = False
+    # optional detector applied to ``image`` first (reference:
+    # control_net_preprocessing, app.py:701-757) — a name from
+    # ops.preprocess (pure-image) or a native model detector
+    # ("Depth"/"Openpose", built by ModelManager.get_preprocessor)
+    preprocessor: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -55,6 +60,7 @@ class T2IAdapterUnit:
     model: str  # name in registry.T2I_ADAPTER_MODELS or a weight path
     image: np.ndarray  # (H, W, 3) conditioning image in [0, 1]
     scale: float = 1.0
+    preprocessor: Optional[str] = None  # as in ControlNetUnit
     conditioning_factor: float = 1.0  # residuals active while
     # step < steps*factor (reference: model_k_diffusion.py:1110-1117)
 
@@ -219,6 +225,106 @@ class ModelManager:
                 )
         return self._adapters[key]
 
+    def register_preprocessor(self, name: str, path: Optional[str] = None,
+                              cfg=None, detect_resolution: int = 368):
+        """Configure a model-based control preprocessor ('Depth' /
+        'Openpose'): optional weight path (transformers
+        DPTForDepthEstimation layout / pytorch-openpose body layout) and
+        architecture override."""
+        self._preproc_spec = getattr(self, "_preproc_spec", {})
+        self._preproc_spec[name] = (path, cfg, detect_resolution)
+        self._adapters.pop(f"preproc::{name}", None)
+
+    def get_preprocessor(self, name: str):
+        """Callable (H, W, 3) image -> (H, W, 3) [0,1] control image.
+
+        Pure-image detectors come from ops.preprocess.NATIVE_PREPROCESSORS;
+        'Depth' and 'Openpose' build their networks here (converted from a
+        registered weight path, random-init fallback otherwise — identical
+        program, zero-egress). Other model-based names raise with guidance
+        (reference detector table: app.py:86-101)."""
+        from ..ops import preprocess as pp
+
+        if name in pp.NATIVE_PREPROCESSORS:
+            return pp.NATIVE_PREPROCESSORS[name]
+        key = f"preproc::{name}"
+        if key in self._adapters:
+            return self._adapters[key]
+        spec = getattr(self, "_preproc_spec", {}).get(name, (None, None,
+                                                             368))
+        path, cfg, detect_res = spec
+        if name == "Depth":
+            from ..models.dpt import DPTConfig, convert_dpt, dpt_init
+
+            if cfg is None:
+                cfg = DPTConfig() if path else DPTConfig(
+                    # weightless fallback: small backbone, same structure
+                    image_size=256, patch_size=16, hidden_size=64,
+                    num_layers=4, num_heads=4, intermediate_size=128,
+                    backbone_out_indices=(0, 1, 2, 3),
+                    neck_hidden_sizes=(32, 48, 64, 64),
+                    fusion_hidden_size=32,
+                )
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_dpt(load_state_dict(path), cfg,
+                                     jnp.float32)
+            else:
+                params = dpt_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+            fn = pp.make_depth_preprocessor(params, cfg)
+        elif name == "Openpose":
+            from ..models.openpose import (
+                convert_openpose_body,
+                openpose_body_init,
+            )
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_openpose_body(load_state_dict(path),
+                                               jnp.float32)
+            else:
+                params = openpose_body_init(jax.random.PRNGKey(0),
+                                            jnp.float32)
+            fn = pp.make_openpose_preprocessor(params, detect_res)
+        elif name == "Semantic Segmentation":
+            from ..models.upernet import (
+                UperNetConfig,
+                convert_upernet,
+                upernet_init,
+            )
+
+            if cfg is None:
+                cfg = UperNetConfig() if path else UperNetConfig(
+                    # weightless fallback: small backbone, same structure
+                    hidden_sizes=(32, 48, 64, 96), depths=(1, 1, 2, 1),
+                    head_channels=64,
+                )
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_upernet(load_state_dict(path), cfg,
+                                         jnp.float32)
+            else:
+                params = upernet_init(jax.random.PRNGKey(0), cfg,
+                                      jnp.float32)
+            fn = pp.make_segmentation_preprocessor(params, cfg)
+        elif name in pp.MODEL_BASED_PREPROCESSORS:
+            raise NotImplementedError(
+                f"preprocessor {name!r} has no native detector yet — "
+                f"supply a precomputed control image (native model "
+                f"detectors: {pp.NATIVE_MODEL_PREPROCESSORS}; pure-image: "
+                f"{tuple(pp.NATIVE_PREPROCESSORS)})"
+            )
+        else:
+            raise KeyError(
+                f"unknown preprocessor {name!r}; available: "
+                f"{tuple(pp.NATIVE_PREPROCESSORS) + pp.MODEL_BASED_PREPROCESSORS}"
+            )
+        self._adapters[key] = fn
+        return fn
+
     def register_image_encoder(self, path: Optional[str] = None,
                                cfg=None):
         self._image_encoder_path = path
@@ -288,11 +394,70 @@ def inference(
     dtype=jnp.bfloat16,
 ):
     """Generate images. Returns dict with ``images`` (B, H, W, 3) uint8,
-    ``timings`` (json str), and optionally ``previews``."""
+    ``timings`` (json str), and optionally ``previews``.
+
+    Multi-prompt batch: ``prompt`` may be a list of prompts with
+    ``region_state`` a parallel list of per-prompt region dicts (or None);
+    every prompt is generated for each seed (``seed`` list, or
+    ``num_images_per_prompt`` consecutive seeds) in one sharded program —
+    prompt-major output order. This exercises the reference's multi-prompt
+    region split (encode_region_map_function.py:93-105) end-to-end; plain
+    txt2img only (no init image / units / hires in grid mode)."""
     timer = PhaseTimer()
     watchdog = Watchdog(timeout)
 
     model_cfg, params, tokenizer = manager.get(model)
+
+    if isinstance(prompt, (list, tuple)) and len(prompt) > 1:
+        if (init_image is not None or controlnet_units or t2i_units
+                or ip_adapter_units or (hires_scale and hires_scale > 1.0)
+                or latent_preview):
+            raise ValueError(
+                "multi-prompt batch supports plain txt2img only"
+            )
+        pipe = StableDiffusionTPU(model_cfg, params, tokenizer=tokenizer)
+        spec = registry.resolve_sampler(sampler)
+        gen = GenerationConfig(
+            height=height, width=width, num_inference_steps=steps,
+            guidance_scale=cfg_scale, guidance_rescale=guidance_rescale,
+            sampler=spec.solver, schedule=spec.schedule, eta=eta,
+            clip_skip=clip_skip, dtype=dtype,
+        )
+        prompts = list(prompt)
+        states = (
+            list(region_state)
+            if isinstance(region_state, (list, tuple))
+            else [region_state] * len(prompts)
+        )
+        if len(states) != len(prompts):
+            raise ValueError(
+                f"{len(states)} region states for {len(prompts)} prompts"
+            )
+        seeds = (
+            [int(s) for s in seed]
+            if isinstance(seed, (list, tuple, np.ndarray))
+            else [int(seed) + i for i in range(num_images_per_prompt)]
+        )
+        from ..parallel.batched import generate_grid
+
+        with timer.phase("sample"):
+            out = generate_grid(
+                pipe, prompts, seeds, gen, negative_prompt=neg_prompt,
+                region_states=states, mesh="auto",
+                encoding_mode=encoding_mode,
+            )
+        watchdog.check()
+        with timer.phase("to_host"):
+            images = StableDiffusionTPU.to_uint8(out)
+        return {
+            "images": images,
+            "timings": timer.summary(model=model, sampler=sampler,
+                                     steps=steps),
+        }
+    if isinstance(prompt, (list, tuple)):
+        prompt = prompt[0]
+    if isinstance(region_state, (list, tuple)):
+        region_state = region_state[0]
 
     loaded_ip = None
     if ip_adapter_units:
@@ -350,8 +515,8 @@ def inference(
                 for u in controlnet_units
             ]
             imgs = [
-                jnp.asarray(u.image, jnp.float32)[None] for u in
-                controlnet_units
+                jnp.asarray(_maybe_preprocess(manager, u), jnp.float32)[None]
+                for u in controlnet_units
             ]
             extras = pipe.build_controlnet_extras(
                 gen, cn_params, imgs,
@@ -368,7 +533,8 @@ def inference(
                 for u in t2i_units
             ]
             t2i_imgs = [
-                jnp.asarray(u.image, jnp.float32)[None] for u in t2i_units
+                jnp.asarray(_maybe_preprocess(manager, u), jnp.float32)[None]
+                for u in t2i_units
             ]
             extras = pipe.build_t2i_extras(
                 gen, t2i_params, t2i_imgs,
@@ -478,6 +644,12 @@ def inference(
     if latent_preview and previews is not None:
         result["previews"] = previews
     return result
+
+
+def _maybe_preprocess(manager: ModelManager, unit) -> np.ndarray:
+    if unit.preprocessor:
+        return manager.get_preprocessor(unit.preprocessor)(unit.image)
+    return unit.image
 
 
 def _ip_unit_embeds(manager: ModelManager, unit: IPAdapterUnit, adapter):

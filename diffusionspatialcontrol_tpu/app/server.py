@@ -70,9 +70,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
-            region_state = None
-            if req.get("region_state"):
-                region_state = {
+            def _parse_state(state):
+                if not state:
+                    return None
+                return {
                     phrase: {
                         "mask": np.asarray(spec["mask"], np.float32),
                         "weight": float(spec.get("weight", 1.0)),
@@ -80,8 +81,15 @@ class _Handler(BaseHTTPRequestHandler):
                             spec.get("mask_outsides", 0.0)
                         ),
                     }
-                    for phrase, spec in req["region_state"].items()
+                    for phrase, spec in state.items()
                 }
+
+            raw_state = req.get("region_state")
+            if isinstance(raw_state, list):
+                # multi-prompt batch: one region dict (or null) per prompt
+                region_state = [_parse_state(s) for s in raw_state]
+            else:
+                region_state = _parse_state(raw_state)
             kwargs = {
                 k: req[k]
                 for k in (

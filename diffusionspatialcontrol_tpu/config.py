@@ -12,7 +12,7 @@ CFG 7.5, clip-skip 2, 512x512, DPM++ 2M Karras, 25 steps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -89,6 +89,13 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # AsymmetricAutoencoderKL-style decoder (reference consumes it for
+    # inpainting, model_diffusers.py:1516-1549): a mask-condition encoder
+    # feeds known-pixel features into every decoder scale. The decoder may
+    # be wider/deeper than the encoder.
+    asymmetric: bool = False
+    decoder_block_out_channels: Optional[Tuple[int, ...]] = None
+    decoder_layers_per_block: Optional[int] = None
 
     @property
     def scale_factor(self) -> int:
@@ -147,6 +154,24 @@ def sd15_inpaint_config() -> ModelConfig:
     cfg = ModelConfig()
     return dataclasses.replace(
         cfg, name="sd15-inpaint", unet=dataclasses.replace(cfg.unet, in_channels=9)
+    )
+
+
+def sd15_asym_inpaint_config(scale: float = 1.0) -> ModelConfig:
+    """9-channel inpaint UNet + asymmetric (mask-conditioned) VAE decoder
+    (cross-attention scale 1.5/2.0 variants widen the decoder; reference:
+    AsymmetricAutoencoderKL decode, model_diffusers.py:1516-1549)."""
+    cfg = sd15_inpaint_config()
+    dec = tuple(int(c * scale) for c in cfg.vae.block_out_channels)
+    return dataclasses.replace(
+        cfg,
+        name="sd15-inpaint-asym",
+        vae=dataclasses.replace(
+            cfg.vae,
+            asymmetric=True,
+            decoder_block_out_channels=dec,
+            decoder_layers_per_block=cfg.vae.layers_per_block + 1,
+        ),
     )
 
 

@@ -274,14 +274,16 @@ def convert_vae(sd: StateDict, cfg: VAEConfig,
         },
     }
     up = []
-    rev = list(reversed(chans))
+    dchans = cfg.decoder_block_out_channels or chans
+    d_layers = cfg.decoder_layers_per_block or cfg.layers_per_block
+    rev = list(reversed(dchans))
     in_c = rev[0]
     for lv, out_c in enumerate(rev):
         pre = f"decoder.up_blocks.{lv}"
         block = {"resnets": [
             _vae_resnet(sd, f"{pre}.resnets.{j}",
                         (in_c if j == 0 else out_c) != out_c, dtype)
-            for j in range(cfg.layers_per_block + 1)
+            for j in range(d_layers + 1)
         ]}
         if lv < len(rev) - 1:
             block["upsample"] = _conv(sd, f"{pre}.upsamplers.0.conv", dtype)
@@ -290,6 +292,18 @@ def convert_vae(sd: StateDict, cfg: VAEConfig,
     dec["up_blocks"] = up
     dec["conv_norm_out"] = _norm(sd, "decoder.conv_norm_out", dtype)
     dec["conv_out"] = _conv(sd, "decoder.conv_out", dtype)
+    # AsymmetricAutoencoderKL: mask-condition encoder feeding known-pixel
+    # features into every decoder scale (strides inferred from kernel size,
+    # matching MaskConditionEncoder's 3x3-stride-1 / 4x4-stride-2 split)
+    if "decoder.condition_encoder.layers.0.weight" in sd.tensors:
+        layers = []
+        i = 0
+        while f"decoder.condition_encoder.layers.{i}.weight" in sd.tensors:
+            layers.append(
+                _conv(sd, f"decoder.condition_encoder.layers.{i}", dtype)
+            )
+            i += 1
+        dec["condition_encoder"] = {"layers": layers}
     return {"encoder": enc, "decoder": dec}
 
 

@@ -94,34 +94,102 @@ def vae_init(key, cfg: VAEConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
     enc["quant_conv"] = conv_init(next(ki), 2 * cfg.latent_channels,
                                   2 * cfg.latent_channels, 1, dtype)
 
-    # Decoder
+    # Decoder (may be wider/deeper than the encoder — asymmetric variant)
+    dchans = cfg.decoder_block_out_channels or chans
+    d_layers = cfg.decoder_layers_per_block or cfg.layers_per_block
+    dc_last = dchans[-1]
     dec: Dict[str, Any] = {
         "post_quant_conv": conv_init(next(ki), cfg.latent_channels,
                                      cfg.latent_channels, 1, dtype),
-        "conv_in": conv_init(next(ki), cfg.latent_channels, c_last, 3, dtype),
+        "conv_in": conv_init(next(ki), cfg.latent_channels, dc_last, 3,
+                             dtype),
         "mid": {
-            "resnet1": _resnet_init(next(ki), c_last, c_last, dtype),
-            "attention": _attn_init(next(ki), c_last, dtype),
-            "resnet2": _resnet_init(next(ki), c_last, c_last, dtype),
+            "resnet1": _resnet_init(next(ki), dc_last, dc_last, dtype),
+            "attention": _attn_init(next(ki), dc_last, dtype),
+            "resnet2": _resnet_init(next(ki), dc_last, dc_last, dtype),
         },
     }
     up = []
-    rev = list(reversed(chans))
-    in_c = c_last
+    rev = list(reversed(dchans))
+    in_c = dc_last
     for lv, out_c in enumerate(rev):
         block = {"resnets": [
             _resnet_init(next(ki), in_c if j == 0 else out_c, out_c, dtype)
-            for j in range(cfg.layers_per_block + 1)
+            for j in range(d_layers + 1)
         ]}
         if lv < len(rev) - 1:
             block["upsample"] = conv_init(next(ki), out_c, out_c, 3, dtype)
         up.append(block)
         in_c = out_c
     dec["up_blocks"] = up
-    dec["conv_norm_out"] = norm_init(chans[0], dtype)
-    dec["conv_out"] = conv_init(next(ki), chans[0], cfg.out_channels, 3, dtype)
+    dec["conv_norm_out"] = norm_init(rev[-1], dtype)
+    dec["conv_out"] = conv_init(next(ki), rev[-1], cfg.out_channels, 3,
+                                dtype)
+    if cfg.asymmetric:
+        dec["condition_encoder"] = mask_condition_encoder_init(
+            next(ki), cfg, dtype
+        )
 
     return {"encoder": enc, "decoder": dec}
+
+
+def _condition_layer_plan(cfg: VAEConfig):
+    """(in_c, out_c, stride) per layer of the mask-condition encoder.
+
+    The decoder blends a known-pixel feature into the sample before every
+    up block and once at full resolution, so the encoder must emit (ch,
+    scale) pairs matching the decoder's pre-block shapes: rev[-1]@1/1 and
+    rev[-2]@1/1 via stride-1 convs, then one stride-2 conv per remaining
+    scale (same 3x3/4x4 split as diffusers' MaskConditionEncoder)."""
+    dchans = cfg.decoder_block_out_channels or cfg.block_out_channels
+    rev = list(reversed(dchans))
+    outs = [rev[-1], rev[-2]]  # full-res features (final blend + last block)
+    strides = [1, 1]
+    for i in range(len(rev) - 2, -1, -1):  # 1/2 ... 1/2^(n-1)
+        outs.append(rev[max(i - 1, 0)] if i > 0 else rev[0])
+        strides.append(2)
+    # deepest feature channel must match the decoder's conv_in output
+    outs[-1] = dchans[-1]
+    plan = []
+    in_c = cfg.in_channels + 1  # masked image + mask channel
+    for out_c, st in zip(outs, strides):
+        plan.append((in_c, out_c, st))
+        in_c = out_c
+    return plan
+
+
+def mask_condition_encoder_init(key, cfg: VAEConfig, dtype=jnp.bfloat16):
+    plan = _condition_layer_plan(cfg)
+    keys = jax.random.split(key, len(plan))
+    return {
+        "layers": [
+            conv_init(k, in_c, out_c, 3 if st == 1 else 4, dtype)
+            for k, (in_c, out_c, st) in zip(keys, plan)
+        ]
+    }
+
+
+def mask_condition_encoder_apply(p, cfg: VAEConfig, masked_image, mask):
+    """Multi-scale known-pixel features keyed by (channels, H, W).
+
+    ``masked_image``: (B, H, W, 3) with the regenerate region zeroed;
+    ``mask``: (B, H, W, 1), 1 = regenerate. Features are recorded pre-ReLU
+    after each conv and selected by shape during decode (the shape-keyed
+    lookup diffusers' MaskConditionDecoder uses)."""
+    x = jnp.concatenate(
+        [masked_image.astype(mask.dtype), mask], axis=-1
+    ).astype(p["layers"][0]["kernel"].dtype)
+    feats = {}
+    for layer in p["layers"]:
+        stride = 2 if layer["kernel"].shape[0] == 4 else 1
+        if stride == 2:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            x = conv2d(layer, x, stride=2, padding="VALID")
+        else:
+            x = conv2d(layer, x)
+        feats[(x.shape[-1], x.shape[1], x.shape[2])] = x
+        x = jax.nn.relu(x)
+    return feats
 
 
 def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
@@ -166,25 +234,60 @@ def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
     return z * cfg.scaling_factor
 
 
-def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray,
+               cond_image: jnp.ndarray | None = None,
+               cond_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """latents: (B, h, w, 4) *scaled*; returns images (B, 8h, 8w, 3) in
-    [-1, 1] (fp32)."""
+    [-1, 1] (fp32).
+
+    Asymmetric (mask-conditioned) decode: with ``cfg.asymmetric`` and
+    (``cond_image`` = init image with the regenerate region zeroed,
+    ``cond_mask`` = (B, H, W, 1), 1 = regenerate), known-pixel features are
+    blended into the sample at every decoder scale —
+    ``sample = sample * m + feature * (1 - m)`` — the
+    AsymmetricAutoencoderKL inpaint decode the reference consumes
+    (model_diffusers.py:1516-1549)."""
     dec = params["decoder"]
     g = cfg.norm_num_groups
     z = (latents / cfg.scaling_factor).astype(
         dec["conv_in"]["kernel"].dtype
     )
+    feats = None
+    if cond_image is not None and cond_mask is not None:
+        if "condition_encoder" not in dec:
+            raise ValueError(
+                "conditioned decode needs an asymmetric VAE "
+                "(cfg.asymmetric=True)"
+            )
+        feats = mask_condition_encoder_apply(
+            dec["condition_encoder"], cfg, cond_image, cond_mask
+        )
+
+    def blend(h):
+        if feats is None:
+            return h
+        key = (h.shape[-1], h.shape[1], h.shape[2])
+        if key not in feats:
+            return h
+        m = jax.image.resize(
+            cond_mask.astype(jnp.float32),
+            (h.shape[0], h.shape[1], h.shape[2], 1), "nearest",
+        ).astype(h.dtype)
+        return h * m + feats[key].astype(h.dtype) * (1.0 - m)
+
     h = conv2d(dec["post_quant_conv"], z, padding="VALID")
     h = conv2d(dec["conv_in"], h)
     h = _resnet_apply(dec["mid"]["resnet1"], h, g)
     h = _attn_apply(dec["mid"]["attention"], h, g)
     h = _resnet_apply(dec["mid"]["resnet2"], h, g)
     for block in dec["up_blocks"]:
+        h = blend(h)
         for r in block["resnets"]:
             h = _resnet_apply(r, h, g)
         if "upsample" in block:
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
             h = conv2d(block["upsample"], h)
+    h = blend(h)
     h = silu(group_norm(dec["conv_norm_out"], h, g, 1e-6))
     return conv2d(dec["conv_out"], h).astype(jnp.float32)

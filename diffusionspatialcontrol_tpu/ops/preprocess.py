@@ -171,11 +171,94 @@ NATIVE_PREPROCESSORS: Dict[str, Callable] = {
     ),
 }
 
-# Detectors that need their own vision networks (weights converted with
-# convert.hf-style loaders when available locally); names match the
-# reference UI (app.py:86-101).
+def make_depth_preprocessor(params, cfg) -> Callable:
+    """DPT depth detector closure (models/dpt.py): RGB image -> normalized
+    inverse-depth control image, same size (the reference's MiDaS detector,
+    app.py:92-101 via controlnet_aux)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.dpt import depth_to_control_image, dpt_apply
+
+    apply = jax.jit(lambda p, x: depth_to_control_image(
+        dpt_apply(p, cfg, x)
+    ))
+
+    def run(img: np.ndarray) -> np.ndarray:
+        x = np.asarray(img, np.float32)
+        if x.max() > 1.0:
+            x = x / 255.0
+        h, w = x.shape[:2]
+        side = cfg.image_size
+        small = jax.image.resize(jnp.asarray(x), (side, side, 3),
+                                 "bilinear")
+        ctrl = apply(params, ((small - 0.5) / 0.5)[None])
+        return np.asarray(
+            jax.image.resize(ctrl[0], (h, w, 3), "bilinear")
+        ).clip(0.0, 1.0)
+
+    return run
+
+
+def make_openpose_preprocessor(params,
+                               detect_resolution: int = 368) -> Callable:
+    """Openpose body detector closure (models/openpose.py)."""
+    from ..models.openpose import detect_pose
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_pose(params, img,
+                           detect_resolution=detect_resolution)
+
+    return run
+
+
+def make_segmentation_preprocessor(params, cfg) -> Callable:
+    """UperNet/ConvNeXt semantic segmentation -> random-color region image
+    (reference: preprocessing_segmentation.py:20-46)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.upernet import (
+        segmentation_to_control_image,
+        upernet_apply,
+    )
+
+    IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    apply = jax.jit(
+        lambda p, x: jnp.argmax(upernet_apply(p, cfg, x), axis=-1)
+    )
+
+    def run(img: np.ndarray) -> np.ndarray:
+        x = np.asarray(img, np.float32)
+        if x.max() > 1.0:
+            x = x / 255.0
+        h, w = x.shape[:2]
+        th = max(-(-h // 32) * 32, 32)
+        tw = max(-(-w // 32) * 32, 32)
+        small = np.asarray(jax.image.resize(
+            jnp.asarray(x), (th, tw, 3), "bilinear"
+        ))
+        norm = (small - IMAGENET_MEAN) / IMAGENET_STD
+        seg = np.asarray(apply(params, jnp.asarray(norm)[None]))[0]
+        ctrl = segmentation_to_control_image(seg)
+        return np.asarray(jax.image.resize(
+            jnp.asarray(ctrl), (h, w, 3), "nearest"
+        ))
+
+    return run
+
+
+#: Detector names that need their own vision networks. "Depth" (DPT/MiDaS,
+#: models/dpt.py), "Openpose" (CMU body, models/openpose.py) and "Semantic
+#: Segmentation" (UperNet/ConvNeXt, models/upernet.py) are implemented
+#: natively — build via ModelManager.get_preprocessor; the rest still
+#: require a precomputed control image. Names match the reference UI
+#: (app.py:86-101).
 MODEL_BASED_PREPROCESSORS = (
     "Depth", "Openpose", "Soft Edge", "Lineart", "Lineart (anime)",
     "MLSD", "Semantic Segmentation", "Normal Map", "Zoedepth",
     "Instruct Pix2Pix",
 )
+NATIVE_MODEL_PREPROCESSORS = ("Depth", "Openpose", "Semantic Segmentation")

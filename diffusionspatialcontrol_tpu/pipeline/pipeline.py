@@ -973,8 +973,21 @@ class StableDiffusionTPU:
 
         noise = self._solver_noise(k_noise, sigma_sched, latent_shape,
                                    gen.sampler)
+        asym = self.model_cfg.vae.asymmetric
         out = self._run(latents, context, region_biases, sigma_sched, gen,
-                        noise, extras, decode)
+                        noise, extras, decode and not asym)
+        if decode and asym:
+            # mask-conditioned decode: the decoder reconstructs the known
+            # pixels from the masked init image at every scale (reference:
+            # AsymmetricAutoencoderKL decode, model_diffusers.py:1516-1549)
+            mask_full = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), "nearest"
+            )[..., None]
+            out = vae_decode(
+                self.params["vae"], self.model_cfg.vae, out,
+                cond_image=init_image * (1.0 - mask_full),
+                cond_mask=mask_full,
+            )
         return out
 
     # -- codecs -------------------------------------------------------------

@@ -287,3 +287,106 @@ def test_face_embed_contract():
     assert not np.allclose(e1, other)
     multi = embed_faces([img, 255 - img])
     np.testing.assert_allclose(np.linalg.norm(multi), 1.0, rtol=1e-5)
+
+
+def test_inference_multi_prompt_grid(manager):
+    """2 prompts x 2 seeds with distinct per-prompt region states in one
+    batched program (reference multi-prompt region split,
+    encode_region_map_function.py:93-105)."""
+    mask_a = np.zeros((64, 64), np.float32)
+    mask_a[:, :32] = 1.0
+    mask_b = np.zeros((64, 64), np.float32)
+    mask_b[:, 32:] = 1.0
+    result = inference(
+        manager,
+        prompt=["a red cat", "a blue dog"],
+        model="tiny",
+        sampler="Euler",
+        steps=3,
+        width=64,
+        height=64,
+        seed=[5, 6],
+        region_state=[
+            region_ui.build_region_state(["red cat"], [mask_a]),
+            region_ui.build_region_state(["blue dog"], [mask_b]),
+        ],
+        encoding_mode="short",
+        dtype=jnp.float32,
+    )
+    assert result["images"].shape == (4, 64, 64, 3)
+    # prompt-major: row 2 = prompt 1 seed 5; equals the solo run
+    solo = inference(
+        manager, prompt="a blue dog", model="tiny", sampler="Euler",
+        steps=3, width=64, height=64, seed=[5],
+        region_state=region_ui.build_region_state(["blue dog"], [mask_b]),
+        encoding_mode="short", dtype=jnp.float32,
+    )
+    # same seed/prompt row: identical up to cross-program fp noise (batch-4
+    # vs batch-1 XLA fusions differ; a wrong row order would differ by
+    # ~100+ levels on every pixel)
+    diff = np.abs(result["images"][2].astype(np.int32)
+                  - solo["images"][0].astype(np.int32))
+    assert diff.max() <= 10 and diff.mean() < 2.0
+
+    with pytest.raises(ValueError):
+        inference(manager, prompt=["a", "b"], model="tiny", steps=2,
+                  width=64, height=64, latent_preview=True,
+                  encoding_mode="short", dtype=jnp.float32)
+
+
+def test_http_server_multi_prompt(manager):
+    import threading as _t  # noqa: F401  (threading imported at module top)
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    server = serve(manager, port=0, block=False)
+    try:
+        port = server.server_address[1]
+        mask = [[1.0 if x < 32 else 0.0 for x in range(64)]
+                for _ in range(64)]
+        payload = {
+            "prompt": ["a red cat", "a blue dog"],
+            "model": "tiny",
+            "sampler": "Euler",
+            "steps": 2,
+            "width": 64,
+            "height": 64,
+            "seed": [1, 2],
+            "encoding_mode": "short",
+            "region_state": [
+                {"red cat": {"mask": mask, "weight": 1.0}},
+                None,
+            ],
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert len(out["images"]) == 4
+    finally:
+        server.shutdown()
+
+
+def test_inference_cancel_check_steps(manager):
+    r1 = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=4,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+    )
+    r2 = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=4,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        cancel_check_steps=2,
+    )
+    # latents are bitwise identical (test_solvers); decode+uint8 run in a
+    # differently-fused program here, so allow one quantization level
+    diff = np.abs(r1["images"].astype(np.int32)
+                  - r2["images"].astype(np.int32))
+    assert diff.max() <= 1
+    with pytest.raises(TimeoutError):
+        inference(
+            manager, prompt="a cat", model="tiny", sampler="Euler",
+            steps=4, width=64, height=64, encoding_mode="short",
+            dtype=jnp.float32, cancel_check_steps=1, timeout=1e-9,
+        )

@@ -218,3 +218,39 @@ def test_inpaint_seed_list(pipe):
     c = pipe.inpaint(ctx, init, mask, GEN, seed=[5], decode=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_inpaint_asymmetric_vae_preset():
+    """9-ch inpaint UNet + asymmetric VAE preset end-to-end, random-init
+    (reference: AsymmetricAutoencoderKL-aware decode,
+    model_diffusers.py:1516-1549)."""
+    import dataclasses as _dc
+
+    from diffusionspatialcontrol_tpu.config import sd15_asym_inpaint_config
+
+    asym_cfg = sd15_asym_inpaint_config()
+    tiny_asym = _dc.replace(
+        TINY,
+        unet=_dc.replace(TINY.unet, in_channels=9),
+        vae=_dc.replace(
+            TINY.vae, asymmetric=True,
+            decoder_layers_per_block=TINY.vae.layers_per_block,
+        ),
+    )
+    assert asym_cfg.vae.asymmetric and asym_cfg.unet.in_channels == 9
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), tiny_asym, jnp.float32
+    )
+    pipe = StableDiffusionTPU(tiny_asym, params, tokenizer=HashTokenizer())
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = np.zeros((1, 64, 64), np.float32)
+    mask[:, :, 32:] = 1.0
+    out = pipe.inpaint(ctx, init, jnp.asarray(mask), GEN, seed=1)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # the conditioned decode must consume the known pixels: different init
+    # images give different outputs even with identical latents/mask
+    init2 = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
+    out2 = pipe.inpaint(ctx, init2, jnp.asarray(mask), GEN, seed=1)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))

@@ -335,3 +335,53 @@ def test_load_pipeline_params_from_disk(tmp_path):
                     steps=2, width=64, height=64, encoding_mode="short",
                     dtype=jnp.float32)
     assert out["images"].shape == (1, 64, 64, 3)
+
+
+def test_asymmetric_vae_conversion_and_decode():
+    """Asymmetric (mask-conditioned) VAE: condition-encoder weights convert
+    from the diffusers key layout and the conditioned decode blends
+    known-pixel features (decode differs with vs without condition)."""
+    import dataclasses as _dc
+
+    from diffusionspatialcontrol_tpu.models.vae import vae_decode
+
+    cfg = _dc.replace(TINY.vae, asymmetric=True,
+                      decoder_layers_per_block=TINY.vae.layers_per_block)
+    params = vae_init(jax.random.PRNGKey(1), cfg, jnp.float32)
+    assert "condition_encoder" in params["decoder"]
+
+    dst = {}
+    for i, layer in enumerate(params["decoder"]["condition_encoder"]
+                              ["layers"]):
+        _inv_conv(dst, f"decoder.condition_encoder.layers.{i}", layer)
+    sd = hf.StateDict(dst)
+    got = hf.convert_vae.__wrapped__ if hasattr(hf.convert_vae,
+                                                "__wrapped__") else None
+    # convert only the condition-encoder piece by probing the full convert
+    # path would need a complete VAE sd; check the layer loader directly:
+    layers = []
+    i = 0
+    while f"decoder.condition_encoder.layers.{i}.weight" in sd.tensors:
+        layers.append(hf._conv(sd, f"decoder.condition_encoder.layers.{i}",
+                               jnp.float32))
+        i += 1
+    assert len(layers) == len(params["decoder"]["condition_encoder"]
+                              ["layers"])
+    for a, b in zip(layers,
+                    params["decoder"]["condition_encoder"]["layers"]):
+        np.testing.assert_array_equal(np.asarray(a["kernel"]),
+                                      np.asarray(b["kernel"]))
+
+    lat = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3)) * 2 - 1
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, :32].set(1.0)
+    plain = vae_decode(params, cfg, lat)
+    cond = vae_decode(params, cfg, lat, cond_image=img * (1 - mask),
+                      cond_mask=mask)
+    assert plain.shape == cond.shape == (1, 64, 64, 3)
+    assert not np.allclose(np.asarray(plain), np.asarray(cond))
+    with pytest.raises(ValueError):
+        vae_decode(
+            vae_init(jax.random.PRNGKey(1), TINY.vae, jnp.float32),
+            TINY.vae, lat, cond_image=img, cond_mask=mask,
+        )

@@ -121,3 +121,267 @@ def test_t2i_adapter_conversion():
     _trees_equal(params, got)
     feats = t2i_adapter_apply(got, cfg, jnp.zeros((1, 64, 64, 3)))
     assert feats[0].shape == (1, 8, 8, 32)
+
+
+# ---------------------------------------------------------------------------
+# DPT depth (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_dpt_matches_transformers_torch():
+    """Our JAX DPT vs transformers' torch DPTForDepthEstimation on a tiny
+    random-init config: identical weights (via the converter) must give the
+    same predicted depth."""
+    import torch
+    from transformers import DPTConfig as HFDPTConfig
+    from transformers import DPTForDepthEstimation
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models.dpt import (
+        DPTConfig,
+        convert_dpt,
+        dpt_apply,
+    )
+
+    hf_cfg = HFDPTConfig(
+        image_size=64, patch_size=16, num_channels=3, hidden_size=32,
+        num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
+        is_hybrid=False, backbone_out_indices=[0, 1, 2, 3],
+        neck_hidden_sizes=[16, 24, 32, 32],
+        reassemble_factors=[4, 2, 1, 0.5],
+        fusion_hidden_size=16, readout_type="project",
+        add_projection=False, attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = DPTForDepthEstimation(hf_cfg).eval()
+    with torch.no_grad():
+        # random-init head ReLUs would zero the depth map, making the
+        # comparison vacuous; bias the head so outputs are O(1)
+        model.head.head[2].bias += 0.5
+        model.head.head[4].bias += 0.5
+    sd = hf.StateDict(
+        {k: v.numpy() for k, v in model.state_dict().items()}
+    )
+    cfg = DPTConfig(
+        image_size=64, patch_size=16, hidden_size=32, num_layers=4,
+        num_heads=2, intermediate_size=64,
+        backbone_out_indices=(0, 1, 2, 3),
+        neck_hidden_sizes=(16, 24, 32, 32), fusion_hidden_size=16,
+    )
+    params = convert_dpt(sd, cfg, jnp.float32)
+
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = model(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).predicted_depth.numpy()
+    got = np.asarray(dpt_apply(params, cfg, jnp.asarray(x)))
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-5)
+
+
+def test_dpt_variable_input_size_and_control_image():
+    from diffusionspatialcontrol_tpu.models.dpt import (
+        DPTConfig,
+        depth_to_control_image,
+        dpt_apply,
+        dpt_init,
+    )
+
+    cfg = DPTConfig(
+        image_size=64, patch_size=16, hidden_size=32, num_layers=4,
+        num_heads=2, intermediate_size=64,
+        backbone_out_indices=(0, 1, 2, 3),
+        neck_hidden_sizes=(16, 24, 32, 32), fusion_hidden_size=16,
+    )
+    params = dpt_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # non-square, different from cfg.image_size: pos-emb interpolation path
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 96, 64, 3))
+    depth = dpt_apply(params, cfg, x)
+    assert depth.shape == (1, 96, 64)
+    ctrl = depth_to_control_image(depth)
+    assert ctrl.shape == (1, 96, 64, 3)
+    v = np.asarray(ctrl)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Openpose body (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_openpose_body_shapes_and_converter():
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    params = op.openpose_body_init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    paf, heat = op.openpose_body_apply(params, x)
+    assert paf.shape == (1, 8, 8, 38)
+    assert heat.shape == (1, 8, 8, 19)
+
+    # converter roundtrip from the pytorch-openpose key layout
+    sd = {}
+    for block, spec in op._block_specs().items():
+        for layer in spec:
+            if len(layer) == 1:
+                continue
+            name = layer[0]
+            k = np.asarray(params[block][name]["kernel"], np.float32)
+            sd[f"{block}.{name}.weight"] = k.transpose(3, 2, 0, 1)
+            sd[f"{block}.{name}.bias"] = np.asarray(
+                params[block][name]["bias"], np.float32
+            )
+    got = op.convert_openpose_body(hf.StateDict(sd))
+    paf2, heat2 = op.openpose_body_apply(got, x)
+    np.testing.assert_array_equal(np.asarray(paf), np.asarray(paf2))
+    # total conv count = VGG-CPM 12 + 2*(5 + 5*7) = 92
+    assert len(sd) == 2 * 92
+
+
+def test_openpose_grouping_on_synthetic_maps():
+    """Peak finding + PAF pairing + subset assembly + drawing on synthetic
+    heatmaps/PAFs: two joints connected by a clean limb field must yield
+    one 2-part... (we paint a minimal 4-part person so the >=4-part subset
+    filter keeps it)."""
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    h = w = 96
+    heat = np.zeros((h, w, 19), np.float32)
+    paf = np.zeros((h, w, 38), np.float32)
+
+    # parts: 1(neck)=idx1, 2(Rsho)=idx2, 3(Relb)=idx3, 4(Rwri)=idx4
+    pts = {1: (48, 20), 2: (30, 40), 3: (30, 64), 4: (30, 84)}
+    yy, xx = np.mgrid[0:h, 0:w]
+    for part, (x0, y0) in pts.items():
+        heat[:, :, part] = np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * 4.0**2)
+        )
+    # limbs: [2,3] (neck->Rsho, paf 31-19=12,13), [3,4] (Rsho->Relb,
+    # 33-19=14,15), [4,5] (Relb->Rwri, 35-19=16,17)
+    for limb_k, (a, b) in ((0, (1, 2)), (2, (2, 3)), (3, (3, 4))):
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        vec = np.array([bx - ax, by - ay], np.float64)
+        vec = vec / np.sqrt((vec**2).sum())
+        on_limb = (
+            np.abs((xx - ax) * vec[1] - (yy - ay) * vec[0]) < 6
+        ) & (((xx - ax) * vec[0] + (yy - ay) * vec[1]) > -4) & (
+            ((xx - bx) * vec[0] + (yy - by) * vec[1]) < 4
+        )
+        ch = op.MAP_IDX[limb_k][0] - 19
+        paf[:, :, ch][on_limb] = vec[0]
+        paf[:, :, ch + 1][on_limb] = vec[1]
+
+    peaks = op.find_peaks(heat)
+    assert sum(len(p) for p in peaks) == 4
+    conns, special = op.pair_limbs(paf, peaks, orig_h=h)
+    subset, candidate = op.assemble_subsets(peaks, conns, special)
+    assert len(subset) == 1
+    assert subset[0][-1] == 4  # all four parts joined into one person
+    canvas = op.draw_bodypose(h, w, candidate, subset)
+    assert canvas.shape == (h, w, 3)
+    assert canvas.max() > 0.3  # something was drawn
+    # skeleton pixels concentrate around the painted limbs
+    assert canvas[:, :, :].sum() < 0.2 * h * w * 3
+
+
+def test_openpose_detector_end_to_end_random_weights():
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    params = op.openpose_body_init(jax.random.PRNGKey(0))
+    img = (np.random.RandomState(0).rand(80, 64, 3) * 255).astype(np.uint8)
+    out = op.detect_pose(params, img, detect_resolution=64)
+    assert out.shape == (80, 64, 3)
+    assert out.dtype == np.float32
+    assert np.all((out >= 0) & (out <= 1))
+
+
+def test_manager_preprocessor_registry():
+    import jax.numpy as jnp
+
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    m = ModelManager(dtype=jnp.float32)
+    img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    canny = m.get_preprocessor("Canny")(img)
+    assert canny.shape == (64, 64, 3)
+    depth = m.get_preprocessor("Depth")(img)
+    assert depth.shape == (64, 64, 3)
+    assert np.all((depth >= 0) & (depth <= 1))
+    pose_fn = m.get_preprocessor("Openpose")
+    assert m.get_preprocessor("Openpose") is pose_fn  # cached
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        m.get_preprocessor("MLSD")
+    with _pytest.raises(KeyError):
+        m.get_preprocessor("Nonsense")
+
+
+# ---------------------------------------------------------------------------
+# UperNet semantic segmentation (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_upernet_matches_transformers_torch():
+    """JAX UperNet+ConvNeXt vs transformers torch on a tiny random-init
+    config with randomized BN running stats."""
+    import torch
+    from transformers import ConvNextConfig
+    from transformers import UperNetConfig as HFUperNetConfig
+    from transformers import UperNetForSemanticSegmentation
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models.upernet import (
+        UperNetConfig,
+        convert_upernet,
+        upernet_apply,
+    )
+
+    bb = ConvNextConfig(
+        hidden_sizes=[16, 24, 32, 40], depths=[1, 1, 2, 1],
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    hf_cfg = HFUperNetConfig(
+        backbone_config=bb, hidden_size=24, pool_scales=[1, 2, 3, 6],
+        num_labels=10, use_auxiliary_head=True, auxiliary_in_channels=32,
+    )
+    torch.manual_seed(0)
+    model = UperNetForSemanticSegmentation(hf_cfg).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = hf.StateDict(
+        {k: v.numpy() for k, v in model.state_dict().items()}
+    )
+    cfg = UperNetConfig(hidden_sizes=(16, 24, 32, 40), depths=(1, 1, 2, 1),
+                        head_channels=24, num_labels=10)
+    params = convert_upernet(sd, cfg, jnp.float32)
+
+    x = np.random.RandomState(0).randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        want = model(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).logits.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(upernet_apply(params, cfg, jnp.asarray(x)))
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+
+
+def test_segmentation_preprocessor_end_to_end():
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    m = ModelManager(dtype=jnp.float32)
+    img = (np.random.RandomState(2).rand(70, 50, 3) * 255).astype(np.uint8)
+    out = m.get_preprocessor("Semantic Segmentation")(img)
+    assert out.shape == (70, 50, 3)
+    assert np.all((out >= 0) & (out <= 1))
+    # deterministic
+    out2 = m.get_preprocessor("Semantic Segmentation")(img)
+    np.testing.assert_array_equal(out, out2)
