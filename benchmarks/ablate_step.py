@@ -85,10 +85,14 @@ def main():
 
     results = {}
 
+    logf = open("/tmp/ablate_results.log", "a")
+
     def measure(tag):
         run = build_step(cfg, params, log_table, biases)
         results[tag] = timeit(run)
         print(tag, results[tag], flush=True)
+        logf.write(f"{tag} {results[tag]}\n")
+        logf.flush()
 
     measure("full")
 
@@ -111,14 +115,6 @@ def main():
     unet_mod._transformer_apply = tf_identity
     measure("attention_blocks_removed")
     unet_mod._transformer_apply = real_tf
-
-    # FF (GEGLU) only
-    def ff_identity(p, x):
-        return x
-
-    unet_mod._geglu_ff = ff_identity
-    measure("geglu_removed")
-    unet_mod._geglu_ff = real_ff
 
     per_step = {k: v / STEPS * 1e3 for k, v in results.items()}
     print(json.dumps({"total_s": results, "per_step_ms": per_step,

@@ -310,6 +310,33 @@ class ModelManager:
                 params = upernet_init(jax.random.PRNGKey(0), cfg,
                                       jnp.float32)
             fn = pp.make_segmentation_preprocessor(params, cfg)
+        elif name in ("Soft Edge", "Scribble (HED)"):
+            from ..models.hed import convert_hed, hed_init
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_hed(load_state_dict(path), jnp.float32)
+            else:
+                params = hed_init(jax.random.PRNGKey(0), jnp.float32)
+            fn = pp.make_hed_preprocessor(
+                params, scribble=(name == "Scribble (HED)")
+            )
+        elif name == "Lineart":
+            from ..models.lineart import convert_lineart, lineart_init
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_lineart(load_state_dict(path), jnp.float32)
+            else:
+                params = lineart_init(jax.random.PRNGKey(0), jnp.float32)
+            from ..models.lineart import detect_lineart
+
+            fn = lambda img, _p=params: detect_lineart(_p, img)  # noqa: E731
+        elif name == "Instruct Pix2Pix":
+            # the reference feeds the raw image (app.py:702)
+            fn = pp.NATIVE_PREPROCESSORS["None"]
         elif name in pp.MODEL_BASED_PREPROCESSORS:
             raise NotImplementedError(
                 f"preprocessor {name!r} has no native detector yet — "

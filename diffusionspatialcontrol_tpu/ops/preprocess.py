@@ -250,15 +250,32 @@ def make_segmentation_preprocessor(params, cfg) -> Callable:
     return run
 
 
+def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
+    """HED soft-edge detector closure (models/hed.py; scribble=True gives
+    the binary sketch of the reference's model-based Scribble path,
+    app.py:745-753)."""
+    from ..models.hed import detect_edges
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_edges(params, img, scribble=scribble)
+
+    return run
+
+
 #: Detector names that need their own vision networks. "Depth" (DPT/MiDaS,
-#: models/dpt.py), "Openpose" (CMU body, models/openpose.py) and "Semantic
-#: Segmentation" (UperNet/ConvNeXt, models/upernet.py) are implemented
-#: natively — build via ModelManager.get_preprocessor; the rest still
-#: require a precomputed control image. Names match the reference UI
+#: models/dpt.py), "Openpose" (CMU body, models/openpose.py), "Semantic
+#: Segmentation" (UperNet/ConvNeXt, models/upernet.py) and "Soft Edge" /
+#: "Scribble (HED)" (models/hed.py) are implemented natively — build via
+#: ModelManager.get_preprocessor. "Instruct Pix2Pix" needs no detector
+#: (the reference feeds the raw image, app.py:702). The rest still require
+#: a precomputed control image. Names match the reference UI
 #: (app.py:86-101).
 MODEL_BASED_PREPROCESSORS = (
-    "Depth", "Openpose", "Soft Edge", "Lineart", "Lineart (anime)",
-    "MLSD", "Semantic Segmentation", "Normal Map", "Zoedepth",
-    "Instruct Pix2Pix",
+    "Depth", "Openpose", "Soft Edge", "Scribble (HED)", "Lineart",
+    "Lineart (anime)", "MLSD", "Semantic Segmentation", "Normal Map",
+    "Zoedepth", "Instruct Pix2Pix",
 )
-NATIVE_MODEL_PREPROCESSORS = ("Depth", "Openpose", "Semantic Segmentation")
+NATIVE_MODEL_PREPROCESSORS = (
+    "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
+    "Scribble (HED)", "Lineart", "Instruct Pix2Pix",
+)

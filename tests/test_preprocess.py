@@ -385,3 +385,151 @@ def test_segmentation_preprocessor_end_to_end():
     # deterministic
     out2 = m.get_preprocessor("Semantic Segmentation")(img)
     np.testing.assert_array_equal(out, out2)
+
+
+# ---------------------------------------------------------------------------
+# HED soft edge (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_hed_shapes_converter_and_detector():
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import hed as H
+
+    params = H.hed_init(jax.random.PRNGKey(0))
+    outs = H.hed_apply(params, jnp.zeros((1, 64, 96, 3)))
+    assert [o.shape for o in outs] == [
+        (1, 64, 96, 1), (1, 32, 48, 1), (1, 16, 24, 1), (1, 8, 12, 1),
+        (1, 4, 6, 1),
+    ]
+
+    # converter roundtrip from the ControlNetHED.pth key layout
+    sd = {"norm": np.asarray(params["norm"], np.float32).reshape(1, 3, 1, 1)}
+    for b in range(1, 6):
+        bp = params[f"block{b}"]
+        for i, conv in enumerate(bp["convs"]):
+            sd[f"block{b}.convs.{i}.weight"] = np.asarray(
+                conv["kernel"], np.float32).transpose(3, 2, 0, 1)
+            sd[f"block{b}.convs.{i}.bias"] = np.asarray(conv["bias"],
+                                                        np.float32)
+        sd[f"block{b}.projection.weight"] = np.asarray(
+            bp["projection"]["kernel"], np.float32).transpose(3, 2, 0, 1)
+        sd[f"block{b}.projection.bias"] = np.asarray(
+            bp["projection"]["bias"], np.float32)
+    got = H.convert_hed(hf.StateDict(sd))
+    outs2 = H.hed_apply(got, jnp.zeros((1, 64, 96, 3)))
+    for a, b_ in zip(outs, outs2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    img = (np.random.RandomState(0).rand(50, 70, 3) * 255).astype(np.uint8)
+    soft = H.detect_edges(params, img)
+    assert soft.shape == (50, 70, 3)
+    assert np.all((soft >= 0) & (soft <= 1))
+    scrib = H.detect_edges(params, img, scribble=True)
+    assert set(np.unique(scrib)).issubset({0.0, 1.0})
+
+
+def test_softedge_and_ip2p_via_manager():
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    m = ModelManager(dtype=jnp.float32)
+    img = (np.random.RandomState(3).rand(48, 48, 3) * 255).astype(np.uint8)
+    soft = m.get_preprocessor("Soft Edge")(img)
+    assert soft.shape == (48, 48, 3)
+    ident = m.get_preprocessor("Instruct Pix2Pix")(img)
+    np.testing.assert_allclose(ident, img.astype(np.float32) / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Lineart generator (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_conv_transpose_s2_matches_torch():
+    """Our lhs-dilated conv == torch ConvTranspose2d(k3, s2, p1, op1)."""
+    import torch
+    import torch.nn.functional as F
+
+    from diffusionspatialcontrol_tpu.models.lineart import conv_transpose_s2
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 4).astype(np.float32)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)  # (in, out, kh, kw)
+    b = rng.randn(3).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        torch.from_numpy(b), stride=2, padding=1, output_padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    kernel = jnp.asarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+    got = np.asarray(conv_transpose_s2(
+        {"kernel": kernel, "bias": jnp.asarray(b)}, jnp.asarray(x)
+    ))
+    assert got.shape == want.shape == (2, 10, 14, 3)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lineart_generator_matches_torch_replica():
+    """End-to-end vs a torch replica of the informative-drawings Generator
+    built with the exact module layout (Sequential indices = the weight-key
+    layout our converter consumes)."""
+    import torch
+    import torch.nn as nn
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import lineart as L
+
+    class ResBlock(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv_block = nn.Sequential(
+                nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3),
+                nn.InstanceNorm2d(c), nn.ReLU(inplace=True),
+                nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3),
+                nn.InstanceNorm2d(c),
+            )
+
+        def forward(self, x):
+            return x + self.conv_block(x)
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model0 = nn.Sequential(
+                nn.ReflectionPad2d(3), nn.Conv2d(3, 64, 7),
+                nn.InstanceNorm2d(64), nn.ReLU(inplace=True))
+            self.model1 = nn.Sequential(
+                nn.Conv2d(64, 128, 3, stride=2, padding=1),
+                nn.InstanceNorm2d(128), nn.ReLU(inplace=True),
+                nn.Conv2d(128, 256, 3, stride=2, padding=1),
+                nn.InstanceNorm2d(256), nn.ReLU(inplace=True))
+            self.model2 = nn.Sequential(*[ResBlock(256) for _ in range(3)])
+            self.model3 = nn.Sequential(
+                nn.ConvTranspose2d(256, 128, 3, stride=2, padding=1,
+                                   output_padding=1),
+                nn.InstanceNorm2d(128), nn.ReLU(inplace=True),
+                nn.ConvTranspose2d(128, 64, 3, stride=2, padding=1,
+                                   output_padding=1),
+                nn.InstanceNorm2d(64), nn.ReLU(inplace=True))
+            self.model4 = nn.Sequential(
+                nn.ReflectionPad2d(3), nn.Conv2d(64, 1, 7), nn.Sigmoid())
+
+        def forward(self, x):
+            return self.model4(self.model3(self.model2(self.model1(
+                self.model0(x)))))
+
+    torch.manual_seed(0)
+    model = Generator().eval()
+    sd = hf.StateDict({k: v.numpy() for k, v in model.state_dict().items()})
+    params = L.convert_lineart(sd)
+
+    x = np.random.RandomState(1).rand(1, 32, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                     ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(L.lineart_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    img = (np.random.RandomState(2).rand(30, 46, 3) * 255).astype(np.uint8)
+    out = L.detect_lineart(params, img)
+    assert out.shape == (30, 46, 3)
+    assert np.all((out >= 0) & (out <= 1))
