@@ -334,6 +334,22 @@ class ModelManager:
             from ..models.lineart import detect_lineart
 
             fn = lambda img, _p=params: detect_lineart(_p, img)  # noqa: E731
+        elif name == "Lineart (anime)":
+            from ..models.lineart_anime import (
+                convert_lineart_anime,
+                detect_lineart_anime,
+                lineart_anime_init,
+            )
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_lineart_anime(load_state_dict(path),
+                                               jnp.float32)
+            else:
+                params = lineart_anime_init(jax.random.PRNGKey(0),
+                                            jnp.float32)
+            fn = lambda img, _p=params: detect_lineart_anime(_p, img)  # noqa: E731
         elif name == "Instruct Pix2Pix":
             # the reference feeds the raw image (app.py:702)
             fn = pp.NATIVE_PREPROCESSORS["None"]

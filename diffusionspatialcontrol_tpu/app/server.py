@@ -60,10 +60,38 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"models": sorted(self.manager._dirs)})
         elif self.path == "/samplers":
             self._json(200, {"samplers": sorted(registry.SAMPLERS)})
+        elif self.path == "/preprocessors":
+            from ..ops import preprocess as pp
+
+            self._json(200, {
+                "pure_image": sorted(pp.NATIVE_PREPROCESSORS),
+                "model_based_native": list(pp.NATIVE_MODEL_PREPROCESSORS),
+                "model_based_unavailable": [
+                    n for n in pp.MODEL_BASED_PREPROCESSORS
+                    if n not in pp.NATIVE_MODEL_PREPROCESSORS
+                ],
+            })
         else:
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        if self.path == "/preprocess":
+            # run a named control preprocessor standalone (the reference
+            # preprocesses inside inference, app.py:924-997; exposing it
+            # lets clients inspect/edit control images)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                img = np.asarray(req["image"], np.float32)
+                fn = self.manager.get_preprocessor(req["preprocessor"])
+                with self.lock:
+                    out = fn(img)
+                self._json(200, {"image": _encode_images(
+                    np.round(np.asarray(out) * 255).astype(np.uint8)[None]
+                )[0]})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if self.path != "/generate":
             self._json(404, {"error": "not found"})
             return
@@ -96,10 +124,55 @@ class _Handler(BaseHTTPRequestHandler):
                     "neg_prompt", "sampler", "steps", "cfg_scale", "width",
                     "height", "seed", "num_images_per_prompt", "clip_skip",
                     "encoding_mode", "guidance_rescale", "strength",
-                    "hires_scale", "hires_strength", "hires_mode",
+                    "hires_scale", "hires_strength", "hires_mode", "eta",
+                    "cancel_check_steps", "timeout",
                 )
                 if k in req
             }
+
+            def _img(v):
+                return None if v is None else np.asarray(v, np.float32)
+
+            if req.get("controlnet_units"):
+                from .api import ControlNetUnit
+
+                kwargs["controlnet_units"] = [
+                    ControlNetUnit(
+                        model=u["model"], image=_img(u["image"]),
+                        scale=float(u.get("scale", 1.0)),
+                        guidance_start=float(u.get("guidance_start", 0.0)),
+                        guidance_end=float(u.get("guidance_end", 1.0)),
+                        guess_mode=bool(u.get("guess_mode", False)),
+                        preprocessor=u.get("preprocessor"),
+                    )
+                    for u in req["controlnet_units"]
+                ]
+            if req.get("t2i_units"):
+                from .api import T2IAdapterUnit
+
+                kwargs["t2i_units"] = [
+                    T2IAdapterUnit(
+                        model=u["model"], image=_img(u["image"]),
+                        scale=float(u.get("scale", 1.0)),
+                        preprocessor=u.get("preprocessor"),
+                        conditioning_factor=float(
+                            u.get("conditioning_factor", 1.0)
+                        ),
+                    )
+                    for u in req["t2i_units"]
+                ]
+            if req.get("ip_adapter_units"):
+                from .api import IPAdapterUnit
+
+                kwargs["ip_adapter_units"] = [
+                    IPAdapterUnit(
+                        model=u["model"], image=_img(u.get("image")),
+                        image_embeds=_img(u.get("image_embeds")),
+                        scale=float(u.get("scale", 1.0)),
+                        mask=_img(u.get("mask")),
+                    )
+                    for u in req["ip_adapter_units"]
+                ]
             with self.lock:
                 result = inference(
                     self.manager,

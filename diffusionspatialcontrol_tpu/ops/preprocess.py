@@ -277,5 +277,5 @@ MODEL_BASED_PREPROCESSORS = (
 )
 NATIVE_MODEL_PREPROCESSORS = (
     "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
-    "Scribble (HED)", "Lineart", "Instruct Pix2Pix",
+    "Scribble (HED)", "Lineart", "Lineart (anime)", "Instruct Pix2Pix",
 )

@@ -390,3 +390,58 @@ def test_inference_cancel_check_steps(manager):
             steps=4, width=64, height=64, encoding_mode="short",
             dtype=jnp.float32, cancel_check_steps=1, timeout=1e-9,
         )
+
+
+def test_http_server_units_and_preprocess(manager):
+    from diffusionspatialcontrol_tpu.app.server import serve
+    from diffusionspatialcontrol_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+    )
+
+    manager.register_image_encoder(cfg=CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, projection_dim=32,
+    ))
+    server = serve(manager, port=0, block=False)
+    try:
+        port = server.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return r.status, json.loads(r.read())
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/preprocessors", timeout=30
+        ) as r:
+            pp_list = json.loads(r.read())
+        assert "Depth" in pp_list["model_based_native"]
+        assert "Canny" in pp_list["pure_image"]
+
+        img = np.random.RandomState(0).rand(64, 64, 3).tolist()
+        st, out = post("/preprocess", {"preprocessor": "Canny",
+                                       "image": img})
+        assert st == 200 and isinstance(out["image"], str)
+
+        st, out = post("/generate", {
+            "prompt": "a cat", "model": "tiny", "sampler": "Euler",
+            "steps": 2, "width": 64, "height": 64,
+            "encoding_mode": "short",
+            "controlnet_units": [
+                {"model": "Canny", "image": img, "scale": 0.5,
+                 "preprocessor": "Canny"}
+            ],
+            "ip_adapter_units": [
+                {"model": "IP-Adapter",
+                 "image": (np.random.RandomState(1).rand(32, 32, 3)
+                           ).tolist(),
+                 "scale": 0.4}
+            ],
+        })
+        assert st == 200 and len(out["images"]) == 1
+    finally:
+        server.shutdown()

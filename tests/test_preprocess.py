@@ -533,3 +533,76 @@ def test_lineart_generator_matches_torch_replica():
     out = L.detect_lineart(params, img)
     assert out.shape == (30, 46, 3)
     assert np.all((out >= 0) & (out <= 1))
+
+
+def test_lineart_anime_matches_torch_replica():
+    """UnetGenerator(3, 1, 8, 64) vs a torch replica with the exact pix2pix
+    module nesting (= the netG.pth weight layout)."""
+    import functools
+
+    import torch
+    import torch.nn as nn
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import lineart_anime as LA
+
+    norm = functools.partial(nn.InstanceNorm2d, affine=False,
+                             track_running_stats=False)
+
+    class Block(nn.Module):
+        def __init__(self, outer, inner, input_nc=None, submodule=None,
+                     outermost=False, innermost=False):
+            super().__init__()
+            self.outermost = outermost
+            input_nc = input_nc or outer
+            downconv = nn.Conv2d(input_nc, inner, 4, 2, 1)
+            downrelu = nn.LeakyReLU(0.2, True)
+            uprelu = nn.ReLU(True)
+            if outermost:
+                upconv = nn.ConvTranspose2d(inner * 2, outer, 4, 2, 1)
+                model = [downconv, submodule, uprelu, upconv, nn.Tanh()]
+            elif innermost:
+                upconv = nn.ConvTranspose2d(inner, outer, 4, 2, 1)
+                model = [downrelu, downconv, uprelu, upconv, norm(outer)]
+            else:
+                upconv = nn.ConvTranspose2d(inner * 2, outer, 4, 2, 1)
+                model = [downrelu, downconv, norm(inner), submodule,
+                         uprelu, upconv, norm(outer)]
+            self.model = nn.Sequential(*model)
+
+        def forward(self, x):
+            if self.outermost:
+                return self.model(x)
+            return torch.cat([x, self.model(x)], 1)
+
+    ngf = 64
+    blk = Block(ngf * 8, ngf * 8, innermost=True)
+    for _ in range(3):
+        blk = Block(ngf * 8, ngf * 8, submodule=blk)
+    blk = Block(ngf * 4, ngf * 8, submodule=blk)
+    blk = Block(ngf * 2, ngf * 4, submodule=blk)
+    blk = Block(ngf, ngf * 2, submodule=blk)
+    net = Block(1, ngf, input_nc=3, submodule=blk, outermost=True)
+
+    torch.manual_seed(0)
+    for m in net.modules():
+        if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d)):
+            nn.init.normal_(m.weight, 0.0, 0.02)
+    net = net.eval()
+    sd = hf.StateDict({k: v.numpy() for k, v in net.state_dict().items()})
+    params = LA.convert_lineart_anime(sd)
+
+    x = np.random.RandomState(1).rand(1, 256, 256, 3).astype(np.float32)
+    x = x * 2 - 1
+    with torch.no_grad():
+        want = net(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                   ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(LA.lineart_anime_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    img = (np.random.RandomState(2).rand(100, 80, 3) * 255).astype(
+        np.uint8
+    )
+    out = LA.detect_lineart_anime(params, img)
+    assert out.shape == (100, 80, 3)
+    assert np.all((out >= 0) & (out <= 1))
