@@ -147,6 +147,76 @@ class ModelManager:
             )
         return cfg, self._cache[name], self._tokenizers[name]
 
+    def get_variant(self, name: str, loras: Sequence = (),
+                    ti_embeddings: Sequence[str] = ()):
+        """(cfg, params, tokenizer) with LoRA merges and textual-inversion
+        embeddings applied, cached per combination (reference:
+        load_lora_control_pipeline app.py:532-597 merges into weights;
+        add_embedding app.py:759-785 injects TI tokens). ``loras``: paths
+        or (path, scale) pairs. Base caches stay pristine (container-copied
+        trees; LoRA replaces kernels functionally)."""
+        cfg, base_params, base_tok = self.get(name)
+        loras = [
+            (p, 1.0) if isinstance(p, str) else (p[0], float(p[1]))
+            for p in loras
+        ]
+        ti_embeddings = list(ti_embeddings)
+        if not loras and not ti_embeddings:
+            return cfg, base_params, base_tok
+        key = (
+            "variant", name,
+            tuple((str(p), s) for p, s in loras),
+            tuple(map(str, ti_embeddings)),
+        )
+        if key not in self._adapters:
+            import os
+
+            from ..convert import lora as lora_mod
+            from ..convert.hf import load_state_dict
+            from ..convert.textual_inversion import (
+                add_embeddings,
+                load_embedding_file,
+            )
+            from ..models.ip_adapter import copy_tree_containers
+
+            params = copy_tree_containers(base_params)
+            for path, scale in loras:
+                lora_mod.merge_lora(
+                    params, load_state_dict(path).tensors, scale=scale
+                )
+            tok = base_tok
+            if ti_embeddings:
+                embs: Dict[str, np.ndarray] = {}
+                for path in ti_embeddings:
+                    loaded = load_embedding_file(path)
+                    for k, v in loaded.items():
+                        # A1111 .pt files name the vector '*': the trigger
+                        # word is the file stem (reference: add_embedding,
+                        # app.py:759-785)
+                        nm = (os.path.splitext(os.path.basename(path))[0]
+                              if k == "*" else k)
+                        embs[nm] = v
+                clip = dict(params["clip"])
+                table = clip["token_embedding"]
+                need = cfg.clip.vocab_size + sum(
+                    np.atleast_2d(v).shape[0] for v in embs.values()
+                )
+                if table.shape[0] < need:
+                    pad = jnp.zeros(
+                        (need - table.shape[0], table.shape[1]),
+                        table.dtype,
+                    )
+                    clip["token_embedding"] = jnp.concatenate(
+                        [table, pad], axis=0
+                    )
+                clip, tok = add_embeddings(
+                    clip, tok, embs, cfg.clip.vocab_size
+                )
+                params["clip"] = clip
+            self._adapters[key] = (params, tok)
+        params, tok = self._adapters[key]
+        return cfg, params, tok
+
     def get_controlnet(self, name_or_path: str, unet_cfg):
         if name_or_path not in self._controlnets:
             import os
@@ -430,6 +500,9 @@ def inference(
     controlnet_units: Sequence[ControlNetUnit] = (),
     t2i_units: Sequence[T2IAdapterUnit] = (),
     ip_adapter_units: Sequence[IPAdapterUnit] = (),
+    # model variants (merged into the weights; cached per combination)
+    loras: Sequence = (),  # paths or (path, scale) pairs
+    ti_embeddings: Sequence[str] = (),
     # extras
     latent_preview: bool = False,
     timeout: float = registry.INFERENCE_TIMEOUT_S,
@@ -449,7 +522,9 @@ def inference(
     timer = PhaseTimer()
     watchdog = Watchdog(timeout)
 
-    model_cfg, params, tokenizer = manager.get(model)
+    model_cfg, params, tokenizer = manager.get_variant(
+        model, loras=loras, ti_embeddings=ti_embeddings
+    )
 
     if isinstance(prompt, (list, tuple)) and len(prompt) > 1:
         if (init_image is not None or controlnet_units or t2i_units
@@ -558,7 +633,8 @@ def inference(
                 for u in controlnet_units
             ]
             imgs = [
-                jnp.asarray(_maybe_preprocess(manager, u), jnp.float32)[None]
+                _unit_batch(_maybe_preprocess(manager, u),
+                            num_images_per_prompt)
                 for u in controlnet_units
             ]
             extras = pipe.build_controlnet_extras(
@@ -576,7 +652,8 @@ def inference(
                 for u in t2i_units
             ]
             t2i_imgs = [
-                jnp.asarray(_maybe_preprocess(manager, u), jnp.float32)[None]
+                _unit_batch(_maybe_preprocess(manager, u),
+                            num_images_per_prompt)
                 for u in t2i_units
             ]
             extras = pipe.build_t2i_extras(
@@ -591,6 +668,12 @@ def inference(
             embeds, uncond_embeds = [], []
             for u, ad in zip(ip_adapter_units, loaded_ip):
                 e, ue = _ip_unit_embeds(manager, u, ad)
+                if num_images_per_prompt > 1 and e.shape[0] == 1:
+                    # one reference image serves the whole fan-out
+                    # (reference repeats embeds per image,
+                    # model_k_diffusion.py:205-214)
+                    e = jnp.repeat(e, num_images_per_prompt, axis=0)
+                    ue = jnp.repeat(ue, num_images_per_prompt, axis=0)
                 embeds.append(e)
                 uncond_embeds.append(ue)
             extras = pipe.build_ip_extras(
@@ -599,7 +682,7 @@ def inference(
                 masks=(
                     [
                         None if u.mask is None
-                        else jnp.asarray(u.mask, jnp.float32)[None]
+                        else _unit_batch(u.mask, num_images_per_prompt)
                         for u in ip_adapter_units
                     ]
                     if any(u.mask is not None for u in ip_adapter_units)
@@ -693,6 +776,13 @@ def _maybe_preprocess(manager: ModelManager, unit) -> np.ndarray:
     if unit.preprocessor:
         return manager.get_preprocessor(unit.preprocessor)(unit.image)
     return unit.image
+
+
+def _unit_batch(img, n: int) -> jnp.ndarray:
+    """(H, W, C) unit image -> (n, H, W, C) batch (one conditioning image
+    serves the whole num_images_per_prompt fan-out)."""
+    arr = jnp.asarray(img, jnp.float32)[None]
+    return jnp.repeat(arr, n, axis=0) if n > 1 else arr
 
 
 def _ip_unit_embeds(manager: ModelManager, unit: IPAdapterUnit, adapter):

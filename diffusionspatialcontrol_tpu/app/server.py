@@ -133,6 +133,13 @@ class _Handler(BaseHTTPRequestHandler):
             def _img(v):
                 return None if v is None else np.asarray(v, np.float32)
 
+            if req.get("loras"):
+                kwargs["loras"] = [
+                    (u, 1.0) if isinstance(u, str) else (u[0], float(u[1]))
+                    for u in req["loras"]
+                ]
+            if req.get("ti_embeddings"):
+                kwargs["ti_embeddings"] = list(req["ti_embeddings"])
             if req.get("controlnet_units"):
                 from .api import ControlNetUnit
 

@@ -445,3 +445,67 @@ def test_http_server_units_and_preprocess(manager):
         assert st == 200 and len(out["images"]) == 1
     finally:
         server.shutdown()
+
+
+def test_inference_units_with_num_images_per_prompt(manager):
+    """One conditioning image / reference image serves a multi-image
+    fan-out (reference repeats embeds per image,
+    model_k_diffusion.py:205-214)."""
+    from diffusionspatialcontrol_tpu.app.api import (
+        ControlNetUnit,
+        IPAdapterUnit,
+    )
+
+    cond = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_img = (np.random.RandomState(1).rand(32, 32, 3) * 255).astype(
+        np.uint8
+    )
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    result = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=2,
+        width=64, height=64, num_images_per_prompt=2,
+        encoding_mode="short", dtype=jnp.float32,
+        controlnet_units=[ControlNetUnit(model="Canny", image=cond)],
+        ip_adapter_units=[IPAdapterUnit(model="IP-Adapter", image=ref_img,
+                                        scale=0.5, mask=mask)],
+    )
+    assert result["images"].shape == (2, 64, 64, 3)
+
+
+def test_inference_with_lora_and_ti(manager, tmp_path):
+    """LoRA paths and TI embedding files through inference() (reference:
+    merge-into-weights loader app.py:532-597 + add_embedding :759-785);
+    base cache stays pristine."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.RandomState(0)
+    # LoRA on a cross-attn to_q of the tiny unet (rank 2, dim 32 @ level 0)
+    lora_sd = {
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_"
+        "to_q.lora_down.weight": rng.randn(2, 32).astype(np.float32),
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_"
+        "to_q.lora_up.weight": rng.randn(32, 2).astype(np.float32) * 0.5,
+    }
+    lora_path = str(tmp_path / "style.safetensors")
+    save_file(lora_sd, lora_path)
+    ti_path = str(tmp_path / "mytoken.safetensors")
+    save_file({"mytoken": rng.randn(2, 64).astype(np.float32)}, ti_path)
+
+    kwargs = dict(
+        model="tiny", sampler="Euler", steps=2, width=64, height=64,
+        encoding_mode="short", dtype=jnp.float32, seed=9,
+    )
+    base = inference(manager, prompt="a mytoken cat", **kwargs)
+    styled = inference(manager, prompt="a mytoken cat",
+                       loras=[(lora_path, 1.0)], ti_embeddings=[ti_path],
+                       **kwargs)
+    assert not np.array_equal(base["images"], styled["images"])
+    # cached variant: second call hits the cache and reproduces exactly
+    styled2 = inference(manager, prompt="a mytoken cat",
+                        loras=[(lora_path, 1.0)], ti_embeddings=[ti_path],
+                        **kwargs)
+    np.testing.assert_array_equal(styled["images"], styled2["images"])
+    # base model untouched by the merge
+    base2 = inference(manager, prompt="a mytoken cat", **kwargs)
+    np.testing.assert_array_equal(base["images"], base2["images"])

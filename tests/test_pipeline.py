@@ -225,3 +225,31 @@ def ctx_for(pipe):
     if "ctx" not in _CTX_CACHE:
         _CTX_CACHE["ctx"] = pipe.encode_prompt(["a cat"], [""])[0]
     return _CTX_CACHE["ctx"]
+
+
+def test_sd2_family_end_to_end():
+    """SD2.x-style config (linear projections, v-prediction, gelu CLIP)
+    through the full txt2img program (reference zoo includes SD2.x models,
+    app.py:111-164; prediction-type wrapper per external_k_diffusion
+    CompVisVDenoiser semantics)."""
+    cfg2 = dataclasses.replace(
+        TINY,
+        name="tiny-sd2",
+        clip=dataclasses.replace(TINY.clip, hidden_act="gelu"),
+        unet=dataclasses.replace(TINY.unet, use_linear_projection=True),
+        prediction_type="v_prediction",
+    )
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(1), cfg2, jnp.float32
+    )
+    pipe = StableDiffusionTPU(cfg2, params, tokenizer=HashTokenizer())
+    ctx, ids = pipe.encode_prompt(["a red cat"], [""])
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    biases = pipe.encode_region(
+        [{"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.0}}],
+        ids, height=64, width=64,
+    )
+    out = pipe.txt2img(ctx, GEN, seed=4, region_biases=biases)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
