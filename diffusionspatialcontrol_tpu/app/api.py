@@ -380,6 +380,16 @@ class ModelManager:
                 params = upernet_init(jax.random.PRNGKey(0), cfg,
                                       jnp.float32)
             fn = pp.make_segmentation_preprocessor(params, cfg)
+        elif name == "MLSD":
+            from ..models.mlsd import convert_mlsd, mlsd_init
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_mlsd(load_state_dict(path), jnp.float32)
+            else:
+                params = mlsd_init(jax.random.PRNGKey(0), jnp.float32)
+            fn = pp.make_mlsd_preprocessor(params)
         elif name in ("Soft Edge", "Scribble (HED)"):
             from ..models.hed import convert_hed, hed_init
 

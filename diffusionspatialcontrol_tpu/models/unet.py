@@ -276,11 +276,39 @@ def _up_skip_channels(cfg: UNetConfig, level: int) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-def _resnet_apply(p, x, temb, groups, eps):
+def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla"):
+    t = linear(p["time_emb_proj"], silu(temb))
+    if conv_impl == "pallas":
+        # Fused one-HBM-pass branch: GN stats are a cheap XLA reduction,
+        # folded into a per-(batch, channel) affine; normalize+SiLU+conv3x3
+        # (+temb / +skip) run inside one Pallas kernel (ops/pallas/
+        # conv_fused.py). Falls back to the XLA path per-resnet when the
+        # working set exceeds VMEM (very large latents).
+        from ..ops.pallas.conv_fused import (
+            fold_group_norm,
+            gn_silu_conv3x3,
+        )
+
+        try:
+            s1, b1 = fold_group_norm(p["norm1"], x, groups, eps)
+            h = gn_silu_conv3x3(
+                x, s1, b1, p["conv1"]["kernel"].astype(x.dtype),
+                p["conv1"]["bias"], channel_bias=t.astype(jnp.float32),
+            )
+            s2, b2 = fold_group_norm(p["norm2"], h, groups, eps)
+            if "conv_shortcut" in p:
+                sc = conv2d(p["conv_shortcut"], x, padding="VALID")
+            else:
+                sc = x
+            return gn_silu_conv3x3(
+                h, s2, b2, p["conv2"]["kernel"].astype(h.dtype),
+                p["conv2"]["bias"], skip=sc,
+            )
+        except ValueError:
+            pass
     h = group_norm(p["norm1"], x, groups, eps)
     h = silu(h)
     h = conv2d(p["conv1"], h)
-    t = linear(p["time_emb_proj"], silu(temb))
     h = h + t[:, None, None, :].astype(h.dtype)
     h = group_norm(p["norm2"], h, groups, eps)
     h = silu(h)
@@ -446,12 +474,18 @@ def unet_apply(
     freeu: Optional[FreeUParams] = None,
     collect_heatmaps: bool = False,
     axis_name: Optional[str] = None,
+    conv_impl: Optional[str] = None,
 ):
     """UNet forward. Returns eps/v prediction (B, H, W, out_channels); with
     ``collect_heatmaps`` also returns a list of (level, (B, L, S)) cross-attn
-    probability sums for DAAM-style introspection."""
+    probability sums for DAAM-style introspection.
+
+    ``conv_impl`` selects the resnet conv path ("pallas" = fused
+    GN+SiLU+conv kernel, "xla" = lax.conv chain); defaults to ``attn_impl``
+    so the pipeline's single kernel switch covers both."""
     heatmaps: Optional[list] = [] if collect_heatmaps else None
     groups, eps_ = cfg.norm_num_groups, cfg.norm_eps
+    conv_impl = attn_impl if conv_impl is None else conv_impl
 
     temb = timestep_embedding(
         timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
@@ -471,7 +505,8 @@ def unet_apply(
     for level, block in enumerate(params["down_blocks"]):
         n_res = len(block["resnets"])
         for j in range(n_res):
-            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_)
+            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
+                              conv_impl)
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
@@ -490,11 +525,11 @@ def unet_apply(
                  for s, r in zip(skips, cond.controlnet_down)]
 
     mid = params["mid_block"]
-    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_)
+    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_, conv_impl)
     h = _transformer_apply(mid["attention"], cfg, h, cond, cfg.num_levels - 1,
                            cfg.heads_at(cfg.num_levels - 1), attn_impl,
                            heatmaps, axis_name=axis_name)
-    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_)
+    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_, conv_impl)
     if cond.controlnet_mid is not None:
         h = h + cond.controlnet_mid.astype(h.dtype)
 
@@ -509,7 +544,8 @@ def unet_apply(
                 h = h.at[..., :c_half].multiply(b_scale)
                 skip = _freeu_filter(skip, s_scale)
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_)
+            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
+                              conv_impl)
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,

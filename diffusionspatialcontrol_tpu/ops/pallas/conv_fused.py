@@ -1,0 +1,271 @@
+"""Fused affine+SiLU+3x3-conv Pallas kernel for the UNet resnet hot path.
+
+The reference runs each resnet block as separate cuDNN/torch kernels
+(GroupNorm -> SiLU -> Conv2d -> +temb -> GroupNorm -> SiLU -> Conv2d -> +skip,
+reference: source/modules/u_net_condition_modify.py resnet blocks via
+diffusers ResnetBlock2D). On TPU the conv FLOPs are MXU work but the
+elementwise chain around them is HBM-bandwidth work that XLA cannot fuse
+*into* a convolution op — profiling shows ~17.6 ms/step of conv+GN+SiLU
+fusions vs 5.1 ms of attention kernels at 512^2 (PERF.md).
+
+This kernel performs, in ONE pass over HBM:
+
+    out = conv3x3(silu(x * scale + bias)) + conv_bias [+ channel_bias] [+ skip]
+
+where ``scale``/``bias`` are the *folded* GroupNorm affine per (batch,
+channel) — the group statistics are a cheap XLA reduction done by the caller
+(`fold_group_norm`), so the normalized and activated tensors never hit HBM.
+
+Layout strategy (TPU-first):
+
+  * the input is zero-padded spatially and flattened to rows of the padded
+    grid: (B, M, C_in) with M = (H+2)*(W+2). A 3x3 tap at offset (dy, dx)
+    is then a pure ROW SHIFT by dy*(W+2)+dx in this space.
+  * grid = (B, C_out tiles, C_in chunks) with the contraction chunks
+    innermost: an fp32 accumulator in VMEM scratch persists across the
+    C_in chunks (same pattern as the streaming flash kernel), so
+    arbitrarily wide inputs (up-block concats reach C_in=2560) stream
+    through a bounded working set.
+  * per chunk, the kernel recomputes the folded-GN affine + SiLU on its
+    C_in slice (VPU work, never materialized), then for each of the 9 taps
+    computes P = act @ K[tap] on the MXU and accumulates
+    ``pltpu.roll(P, M - offset)`` — a native sublane rotation. Rolled-in
+    wraparound rows land only in padding rows (y >= H), which the caller
+    slices away, so no accumulator masking is needed.
+  * activations of the zero padding are forced back to zero inside the
+    kernel (silu(0*scale+bias) != 0) with an iota-derived border mask.
+  * C_in and C_out are padded to lane multiples in XLA (zero weights/scale
+    make the padding inert); the padded reshape fuses into the pad.
+
+VMEM-fit of (M, tile) blocks is checked statically; callers fall back to
+the XLA path (`conv2d` on materialized activations) when even the smallest
+tiling would not fit (very large latents) or off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - import guard mirrors flash_attention.py
+    from jax.experimental.pallas import tpu as pltpu
+
+    _MEMSPACE = dict(memory_space=pltpu.VMEM)
+except Exception:  # pragma: no cover
+    pltpu = None
+    _MEMSPACE = {}
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fold_group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
+    """Fold GroupNorm statistics + affine into per-(batch, channel) scale and
+    bias, so ``x * scale + bias == group_norm(p, x)`` exactly (same fp32
+    math as layers.group_norm). Returns (scale, bias), each (B, C) fp32."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3))  # (B, G)
+    var = xf.var(axis=(1, 3))
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, c // num_groups, axis=1)
+    rstd_c = jnp.repeat(rstd, c // num_groups, axis=1)
+    gamma = p["scale"].astype(jnp.float32)[None]
+    beta = p["bias"].astype(jnp.float32)[None]
+    scale = gamma * rstd_c
+    bias = beta - mean_c * scale
+    return scale, bias
+
+
+def _roll_up(p, off):
+    """Shift rows up by ``off`` (row r reads r+off), wraparound into the
+    discarded padding rows only."""
+    if not off:
+        return p
+    if pltpu is not None:
+        return pltpu.roll(p, p.shape[0] - off, 0)
+    return jnp.roll(p, -off, 0)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, xb_ref, skip_ref,
+            out_ref, acc_ref, *, offsets, h: int, w: int,
+            has_xb: bool, has_skip: bool):
+    wp2 = w + 2
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        if has_skip:
+            acc_ref[:] = skip_ref[0].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xv = x_ref[0].astype(jnp.float32)  # (M_pad, c_in_t)
+    m = xv.shape[0]
+    act = xv * scale_ref[0] + bias_ref[0]
+    act = act * jax.nn.sigmoid(act)  # SiLU in fp32
+    # Zero the one-pixel border: rows y in {0, H+1}+ or cols x in {0, W+1}.
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    y = r // wp2
+    xcol = r - y * wp2
+    interior = ((y >= 1) & (y <= h) & (xcol >= 1) & (xcol <= w))
+    act = jnp.where(interior, act, 0.0).astype(x_ref.dtype)
+
+    acc = jnp.zeros_like(acc_ref)
+    for tap, off in enumerate(offsets):
+        p = jax.lax.dot_general(
+            act, w_ref[tap], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + _roll_up(p, off)
+    acc_ref[:] += acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        res = acc_ref[:] + cb_ref[0]
+        if has_xb:
+            res = res + xb_ref[0]
+        out_ref[0] = res.astype(out_ref.dtype)
+
+
+def _vmem_bytes(m: int, c_in_t: int, c_out_t: int, itemsize: int,
+                has_skip: bool) -> int:
+    x_b = 2 * m * c_in_t * itemsize  # double-buffered input chunk
+    act_b = m * c_in_t * 4  # fp32 affine/SiLU temp (cast reuses p's slot)
+    p_b = m * c_out_t * 4
+    acc_b = m * c_out_t * 4
+    w_b = 2 * 9 * c_in_t * c_out_t * itemsize
+    out_b = m * c_out_t * itemsize  # written once, on the last chunk
+    sk_b = m * c_out_t * itemsize if has_skip else 0
+    return x_b + act_b + p_b + acc_b + w_b + out_b + sk_b
+
+
+def _pick_tiles(m: int, c_in_pad: int, c_out_pad: int, itemsize: int,
+                has_skip: bool, budget: int = 13 * 2**20):
+    """Largest (c_in_t, c_out_t) lane-multiple tile pair that fits VMEM,
+    preferring wider contraction chunks (fewer roll/accumulate passes)."""
+    for c_in_t in (512, 384, 256, 128):
+        if c_in_pad % c_in_t:
+            continue
+        for c_out_t in (512, 384, 256, 128):
+            if c_out_pad % c_out_t:
+                continue
+            if _vmem_bytes(m, c_in_t, c_out_t, itemsize, has_skip) <= budget:
+                return c_in_t, c_out_t
+    return None
+
+
+def gn_silu_conv3x3(
+    x: jnp.ndarray,  # (B, H, W, C_in)
+    scale: jnp.ndarray,  # (B, C_in) fp32 folded GN scale
+    bias: jnp.ndarray,  # (B, C_in) fp32 folded GN bias
+    kernel: jnp.ndarray,  # (3, 3, C_in, C_out) HWIO
+    conv_bias: jnp.ndarray,  # (C_out,)
+    channel_bias: Optional[jnp.ndarray] = None,  # (B, C_out), e.g. temb
+    skip: Optional[jnp.ndarray] = None,  # (B, H, W, C_out) added to output
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One-HBM-pass resnet branch op; see module docstring. Returns
+    (B, H, W, C_out) in x.dtype. Raises ValueError when the working set
+    does not fit VMEM (caller falls back to the XLA path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, c_in = x.shape
+    c_out = kernel.shape[-1]
+    wp2 = w + 2
+    m = (h + 2) * wp2
+    m_pad = _round_up(m, 8)
+    c_in_pad = _round_up(c_in, 128)
+    c_out_pad = _round_up(c_out, 128)
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    tiles = _pick_tiles(m_pad, c_in_pad, c_out_pad, itemsize,
+                        skip is not None)
+    if tiles is None:
+        raise ValueError(
+            f"gn_silu_conv3x3 working set too large for VMEM "
+            f"(M={m_pad}, C_in={c_in}, C_out={c_out})"
+        )
+    c_in_t, c_out_t = tiles
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, c_in_pad - c_in)))
+    xp = xp.reshape(b, m, c_in_pad)
+    if m_pad != m:
+        xp = jnp.pad(xp, ((0, 0), (0, m_pad - m), (0, 0)))
+    kf = kernel.reshape(9, c_in, c_out)
+    kf = jnp.pad(kf, ((0, 0), (0, c_in_pad - c_in), (0, c_out_pad - c_out)))
+    # (B, 1, C_in_pad): Mosaic requires 2nd-to-last block dims to be 8k or
+    # the full array dim, so per-batch channel vectors travel as 3D.
+    scale_p = jnp.pad(scale.astype(jnp.float32),
+                      ((0, 0), (0, c_in_pad - c_in)))[:, None, :]
+    bias_p = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, c_in_pad - c_in)))[:, None, :]
+    cb = jnp.pad(conv_bias.astype(jnp.float32), (0, c_out_pad - c_out))
+    cb = jnp.broadcast_to(cb[None, None], (1, 1, c_out_pad))
+    offsets = tuple(dy * wp2 + dx for dy in range(3) for dx in range(3))
+
+    has_xb = channel_bias is not None
+    if has_xb:
+        xb = jnp.pad(channel_bias.astype(jnp.float32),
+                     ((0, 0), (0, c_out_pad - c_out)))[:, None, :]
+    else:
+        xb = jnp.zeros((b, 1, c_out_pad), jnp.float32)
+    has_skip = skip is not None
+    if has_skip:
+        # skip[y, x] must land at flat padded index y*(W+2)+x (the output's
+        # coordinate system), so pad on the trailing edges only.
+        skp = jnp.pad(skip, ((0, 0), (0, 2), (0, 2), (0, c_out_pad - c_out)))
+        skp = skp.reshape(b, m, c_out_pad)
+        if m_pad != m:
+            skp = jnp.pad(skp, ((0, 0), (0, m_pad - m), (0, 0)))
+        sk_spec = pl.BlockSpec((1, m_pad, c_out_t), lambda i, j, k: (i, 0, j),
+                               **_MEMSPACE)
+    else:
+        skp = jnp.zeros((b, 8, 128), x.dtype)
+        sk_spec = pl.BlockSpec((1, 8, 128), lambda i, j, k: (i, 0, 0),
+                               **_MEMSPACE)
+
+    grid = (b, c_out_pad // c_out_t, c_in_pad // c_in_t)
+    scratch = (
+        [pltpu.VMEM((m_pad, c_out_t), jnp.float32)]
+        if pltpu is not None
+        else [jax.ShapeDtypeStruct((m_pad, c_out_t), jnp.float32)]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, offsets=offsets, h=h, w=w,
+            has_xb=has_xb, has_skip=has_skip,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out_pad), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m_pad, c_in_t), lambda i, j, k: (i, 0, k),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
+                         **_MEMSPACE),
+            pl.BlockSpec((9, c_in_t, c_out_t), lambda i, j, k: (0, k, j),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (0, 0, j),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (i, 0, j),
+                         **_MEMSPACE),
+            sk_spec,
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, c_out_t), lambda i, j, k: (i, 0, j),
+                               **_MEMSPACE),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xp, scale_p, bias_p, kf, cb, xb, skp)
+
+    out = out[:, :m].reshape(b, h + 2, wp2, c_out_pad)
+    return out[:, :h, :w, :c_out]

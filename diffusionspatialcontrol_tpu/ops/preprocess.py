@@ -250,6 +250,18 @@ def make_segmentation_preprocessor(params, cfg) -> Callable:
     return run
 
 
+def make_mlsd_preprocessor(params, thr_v: float = 0.1,
+                           thr_d: float = 0.1) -> Callable:
+    """MLSD line-segment detector closure (models/mlsd.py; reference
+    app.py:733-734 MLSDdetector with default thresholds)."""
+    from ..models.mlsd import detect_mlsd
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_mlsd(params, img, thr_v=thr_v, thr_d=thr_d)
+
+    return run
+
+
 def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
     """HED soft-edge detector closure (models/hed.py; scribble=True gives
     the binary sketch of the reference's model-based Scribble path,
@@ -278,4 +290,5 @@ MODEL_BASED_PREPROCESSORS = (
 NATIVE_MODEL_PREPROCESSORS = (
     "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
     "Scribble (HED)", "Lineart", "Lineart (anime)", "Instruct Pix2Pix",
+    "MLSD",
 )

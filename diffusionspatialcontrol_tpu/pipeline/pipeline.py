@@ -188,6 +188,7 @@ def make_denoise_fn(
     extras: Optional[DenoiseExtras] = None,
     sigma_steps: Optional[np.ndarray] = None,  # static per-step sigmas
     axis_name: Optional[str] = None,  # set inside shard_map (parallel/spmd)
+    conv_impl: Optional[str] = None,  # default: follow attn_impl
 ):
     """Builds the sigma-space denoiser D(x; sigma) used by every solver."""
     do_cfg = guidance_scale > 1.0
@@ -329,7 +330,7 @@ def make_denoise_fn(
 
         out = unet_apply(
             params["unet"], model_cfg.unet, model_in, t_b, cond,
-            attn_impl=attn_impl, axis_name=axis_name,
+            attn_impl=attn_impl, axis_name=axis_name, conv_impl=conv_impl,
         ).astype(jnp.float32)
 
         if model_cfg.prediction_type == "v_prediction":

@@ -606,3 +606,187 @@ def test_lineart_anime_matches_torch_replica():
     out = LA.detect_lineart_anime(params, img)
     assert out.shape == (100, 80, 3)
     assert np.all((out >= 0) & (out <= 1))
+
+
+# ---------------------------------------------------------------------------
+# MLSD (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def test_mlsd_matches_torch_replica():
+    """MobileV2_MLSD_Large vs a torch replica with the exact module layout
+    (attribute/Sequential indices = the mlsd_large_512_fp32.pth key layout
+    convert_mlsd consumes), including folded BatchNorm running stats,
+    depthwise strides, dilation-5 head and align_corners upsampling."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import mlsd as M
+
+    class ConvBNReLU(nn.Sequential):
+        def __init__(self, inp, oup, k=3, stride=1, groups=1):
+            super().__init__(
+                nn.Conv2d(inp, oup, k, stride, (k - 1) // 2, groups=groups,
+                          bias=False),
+                nn.BatchNorm2d(oup), nn.ReLU6(inplace=True))
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, inp, oup, stride, expand_ratio):
+            super().__init__()
+            hidden = int(round(inp * expand_ratio))
+            self.use_res = stride == 1 and inp == oup
+            layers = []
+            if expand_ratio != 1:
+                layers.append(ConvBNReLU(inp, hidden, k=1))
+            layers.extend([
+                ConvBNReLU(hidden, hidden, stride=stride, groups=hidden),
+                nn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm2d(oup)])
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [ConvBNReLU(4, 32, stride=2)]
+            inp = 32
+            for t, c, n, s in M._IR_SETTING:
+                for i in range(n):
+                    feats.append(InvertedResidual(
+                        inp, c, s if i == 0 else 1, t))
+                    inp = c
+            self.features = nn.Sequential(*feats)
+
+        def forward(self, x):
+            taps = []
+            for i, f in enumerate(self.features):
+                x = f(x)
+                if i in M._FPN:
+                    taps.append(x)
+            return taps
+
+    class BlockTypeA(nn.Module):
+        def __init__(self, in_c1, in_c2, out_c1, out_c2, upscale=True):
+            super().__init__()
+            self.conv1 = nn.Sequential(nn.Conv2d(in_c2, out_c2, 1),
+                                       nn.BatchNorm2d(out_c2),
+                                       nn.ReLU(inplace=True))
+            self.conv2 = nn.Sequential(nn.Conv2d(in_c1, out_c1, 1),
+                                       nn.BatchNorm2d(out_c1),
+                                       nn.ReLU(inplace=True))
+            self.upscale = upscale
+
+        def forward(self, a, b):
+            b = self.conv1(b)
+            a = self.conv2(a)
+            if self.upscale:
+                b = F.interpolate(b, scale_factor=2.0, mode="bilinear",
+                                  align_corners=True)
+            return torch.cat((a, b), dim=1)
+
+    class BlockTypeB(nn.Module):
+        def __init__(self, in_c, out_c):
+            super().__init__()
+            self.conv1 = nn.Sequential(nn.Conv2d(in_c, in_c, 3, padding=1),
+                                       nn.BatchNorm2d(in_c),
+                                       nn.ReLU(inplace=True))
+            self.conv2 = nn.Sequential(nn.Conv2d(in_c, out_c, 3, padding=1),
+                                       nn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            return self.conv2(self.conv1(x) + x)
+
+    class BlockTypeC(nn.Module):
+        def __init__(self, in_c, out_c):
+            super().__init__()
+            self.conv1 = nn.Sequential(
+                nn.Conv2d(in_c, in_c, 3, padding=5, dilation=5),
+                nn.BatchNorm2d(in_c), nn.ReLU(inplace=True))
+            self.conv2 = nn.Sequential(nn.Conv2d(in_c, in_c, 3, padding=1),
+                                       nn.BatchNorm2d(in_c),
+                                       nn.ReLU(inplace=True))
+            self.conv3 = nn.Conv2d(in_c, out_c, 1)
+
+        def forward(self, x):
+            return self.conv3(self.conv2(self.conv1(x)))
+
+    class MLSDLarge(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.block15 = BlockTypeA(64, 96, 64, 64, upscale=False)
+            self.block16 = BlockTypeB(128, 64)
+            self.block17 = BlockTypeA(32, 64, 64, 64)
+            self.block18 = BlockTypeB(128, 64)
+            self.block19 = BlockTypeA(24, 64, 64, 64)
+            self.block20 = BlockTypeB(128, 64)
+            self.block21 = BlockTypeA(16, 64, 64, 64)
+            self.block22 = BlockTypeB(128, 64)
+            self.block23 = BlockTypeC(64, 16)
+
+        def forward(self, x):
+            c1, c2, c3, c4, c5 = self.backbone(x)
+            x = self.block16(self.block15(c4, c5))
+            x = self.block18(self.block17(c3, x))
+            x = self.block20(self.block19(c2, x))
+            x = self.block22(self.block21(c1, x))
+            return self.block23(x)[:, 7:, :, :]
+
+    torch.manual_seed(0)
+    model = MLSDLarge().eval()
+    # randomize BN running stats so folding is actually exercised
+    gen = np.random.RandomState(7)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            n = m.running_mean.shape[0]
+            m.running_mean.data = torch.from_numpy(
+                gen.randn(n).astype(np.float32) * 0.2)
+            m.running_var.data = torch.from_numpy(
+                gen.rand(n).astype(np.float32) + 0.5)
+
+    sd = hf.StateDict({k: v.numpy() for k, v in model.state_dict().items()})
+    params = M.convert_mlsd(sd)
+
+    x = np.random.RandomState(1).rand(1, 64, 64, 4).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                     ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(M.mlsd_apply(params, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 32, 32, 9)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_mlsd_decode_and_detector():
+    from diffusionspatialcontrol_tpu.models import mlsd as M
+
+    # synthetic tpMap: one strong center with a long displacement
+    tp = np.zeros((32, 32, 9), np.float32)
+    tp[..., 0] = -10.0
+    tp[16, 16, 0] = 10.0
+    tp[16, 16, 1:5] = [-12.0, 0.0, 12.0, 0.0]
+    segs = M.decode_lines(tp, score_thr=0.1, dist_thr=20.0)
+    assert segs.shape == (1, 4)
+    np.testing.assert_allclose(segs[0], [4.0, 16.0, 28.0, 16.0], atol=1e-4)
+    # below the distance threshold -> dropped
+    tp[16, 16, 1:5] = [-2.0, 0.0, 2.0, 0.0]
+    assert M.decode_lines(tp, score_thr=0.1, dist_thr=20.0).shape == (0, 4)
+
+    params = M.mlsd_init(jax.random.PRNGKey(0))
+    img = (np.random.RandomState(2).rand(40, 56, 3) * 255).astype(np.uint8)
+    out = M.detect_mlsd(params, img)
+    assert out.shape == (40, 56, 3)
+    assert np.all((out >= 0) & (out <= 1))
+
+
+def test_mlsd_via_manager():
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    mgr = ModelManager()
+    fn = mgr.get_preprocessor("MLSD")
+    img = (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
+    out = fn(img)
+    assert out.shape == (32, 32, 3)
