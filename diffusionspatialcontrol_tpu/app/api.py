@@ -380,6 +380,26 @@ class ModelManager:
                 params = upernet_init(jax.random.PRNGKey(0), cfg,
                                       jnp.float32)
             fn = pp.make_segmentation_preprocessor(params, cfg)
+        elif name == "Zoedepth":
+            from ..models.zoedepth import (
+                ZOE_TINY,
+                ZoeDepthConfig,
+                convert_zoedepth,
+                zoedepth_init,
+            )
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                zcfg = cfg or ZoeDepthConfig()
+                params = convert_zoedepth(load_state_dict(path), zcfg,
+                                          jnp.float32)
+            else:
+                # weightless fallback: same structure, small dims
+                zcfg = cfg or ZOE_TINY
+                params = zoedepth_init(jax.random.PRNGKey(0), zcfg,
+                                       jnp.float32)
+            fn = pp.make_zoedepth_preprocessor(params, zcfg)
         elif name == "MLSD":
             from ..models.mlsd import convert_mlsd, mlsd_init
 

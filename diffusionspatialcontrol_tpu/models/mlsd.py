@@ -203,31 +203,7 @@ def convert_mlsd(sd, dtype=jnp.float32) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _resize_bilinear_ac(x, out_h, out_w):
-    """Bilinear resize with torch align_corners=True semantics (the decoder's
-    F.interpolate mode), which jax.image.resize (half-pixel) does not match:
-    output grid i maps to input coordinate i*(H_in-1)/(H_out-1)."""
-    b, h, w, c = x.shape
-
-    def axis_weights(n_in, n_out):
-        if n_out == 1 or n_in == 1:
-            lo = np.zeros(n_out, np.int32)
-            return lo, lo, np.zeros(n_out, np.float32)
-        coord = np.arange(n_out) * (n_in - 1) / (n_out - 1)
-        lo = np.floor(coord).astype(np.int32)
-        hi = np.minimum(lo + 1, n_in - 1)
-        frac = (coord - lo).astype(np.float32)
-        return lo, hi, frac
-
-    ylo, yhi, yf = axis_weights(h, out_h)
-    xlo, xhi, xf = axis_weights(w, out_w)
-    xf32 = x.astype(jnp.float32)
-    top = xf32[:, ylo][:, :, xlo] * (1 - xf[None, None, :, None]) \
-        + xf32[:, ylo][:, :, xhi] * xf[None, None, :, None]
-    bot = xf32[:, yhi][:, :, xlo] * (1 - xf[None, None, :, None]) \
-        + xf32[:, yhi][:, :, xhi] * xf[None, None, :, None]
-    out = top * (1 - yf[None, :, None, None]) + bot * yf[None, :, None, None]
-    return out.astype(x.dtype)
+from ..ops.resize import resize_bilinear_align_corners as _resize_bilinear_ac  # noqa: E501
 
 
 def _backbone(params, x):

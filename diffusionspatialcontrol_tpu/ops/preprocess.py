@@ -250,6 +250,19 @@ def make_segmentation_preprocessor(params, cfg) -> Callable:
     return run
 
 
+def make_zoedepth_preprocessor(params, cfg=None) -> Callable:
+    """ZoeDepth metric-depth detector closure (models/zoedepth.py; reference
+    app.py:683-684 ZoeDetector with the zoed_nk dual-head checkpoint)."""
+    from ..models.zoedepth import ZoeDepthConfig, detect_zoedepth
+
+    cfg = cfg or ZoeDepthConfig()
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_zoedepth(params, img, cfg)
+
+    return run
+
+
 def make_mlsd_preprocessor(params, thr_v: float = 0.1,
                            thr_d: float = 0.1) -> Callable:
     """MLSD line-segment detector closure (models/mlsd.py; reference
@@ -290,5 +303,5 @@ MODEL_BASED_PREPROCESSORS = (
 NATIVE_MODEL_PREPROCESSORS = (
     "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
     "Scribble (HED)", "Lineart", "Lineart (anime)", "Instruct Pix2Pix",
-    "MLSD",
+    "MLSD", "Zoedepth",
 )

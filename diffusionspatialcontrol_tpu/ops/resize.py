@@ -45,3 +45,36 @@ def resize_latents(latents: jnp.ndarray, new_h: int, new_w: int,
     return jax.image.resize(
         latents, (b, new_h, new_w, c), method=method, antialias=antialias
     )
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
+                                  out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics on NHWC
+    tensors — output grid i maps to input coordinate i*(H_in-1)/(H_out-1).
+    jax.image.resize only implements half-pixel (align_corners=False)
+    sampling, but several ported decoders (MLSD BlockTypeA, the DPT/ZoeDepth
+    fusion pyramid and bin attractors) upsample with corner alignment."""
+    import numpy as np
+
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def axis_weights(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            lo = np.zeros(n_out, np.int32)
+            return lo, lo, np.zeros(n_out, np.float32)
+        coord = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = np.floor(coord).astype(np.int32)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = (coord - lo).astype(np.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_weights(h, out_h)
+    xlo, xhi, xf = axis_weights(w, out_w)
+    xf32 = x.astype(jnp.float32)
+    xw = xf[None, None, :, None]
+    top = xf32[:, ylo][:, :, xlo] * (1 - xw) + xf32[:, ylo][:, :, xhi] * xw
+    bot = xf32[:, yhi][:, :, xlo] * (1 - xw) + xf32[:, yhi][:, :, xhi] * xw
+    yw = yf[None, :, None, None]
+    return (top * (1 - yw) + bot * yw).astype(x.dtype)

@@ -316,7 +316,7 @@ def test_manager_preprocessor_registry():
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        m.get_preprocessor("MLSD")
+        m.get_preprocessor("Normal Map")  # the one remaining model gap
     with _pytest.raises(KeyError):
         m.get_preprocessor("Nonsense")
 
@@ -790,3 +790,89 @@ def test_mlsd_via_manager():
     img = (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
     out = fn(img)
     assert out.shape == (32, 32, 3)
+
+
+# ---------------------------------------------------------------------------
+# ZoeDepth (model-based preprocessor)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_hf_zoedepth():
+    """transformers ZoeDepthForDepthEstimation with a tiny config matching
+    models.zoedepth.ZOE_TINY (same structure as Intel/zoedepth-nyu-kitti)."""
+    from transformers import BeitConfig
+    from transformers import ZoeDepthConfig as HFZoeConfig
+    from transformers import ZoeDepthForDepthEstimation
+
+    backbone = BeitConfig(
+        image_size=64, patch_size=16, num_hidden_layers=4, hidden_size=64,
+        intermediate_size=128, num_attention_heads=4,
+        use_relative_position_bias=True, reshape_hidden_states=False,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+        layer_scale_init_value=0.1, use_absolute_position_embeddings=False,
+        attn_implementation="eager",
+    )
+    hf_cfg = HFZoeConfig(
+        backbone_config=backbone,
+        neck_hidden_sizes=[16, 24, 32, 32], fusion_hidden_size=32,
+        num_relative_features=8, bottleneck_features=32,
+        bin_embedding_dim=16, num_attractors=[4, 2, 2, 1],
+        bin_configurations=[
+            {"name": "nyu", "n_bins": 8, "min_depth": 1e-3,
+             "max_depth": 10.0},
+            {"name": "kitti", "n_bins": 8, "min_depth": 1e-3,
+             "max_depth": 80.0},
+        ],
+        num_patch_transformer_layers=4, patch_transformer_hidden_size=128,
+        patch_transformer_intermediate_size=32,
+        patch_transformer_num_attention_heads=2,
+    )
+    import torch
+
+    torch.manual_seed(0)
+    model = ZoeDepthForDepthEstimation(hf_cfg).eval()
+    # non-degenerate weights: _init_weights zeroes biases/tables; randomize
+    gen = np.random.RandomState(3)
+    with torch.no_grad():
+        for name, par in model.named_parameters():
+            par.copy_(torch.from_numpy(
+                gen.randn(*par.shape).astype(np.float32) * 0.05))
+    return model
+
+
+def test_zoedepth_matches_transformers_torch():
+    """Full-model numerics vs transformers' torch ZoeDepth (NK dual-head
+    with patch-transformer router), non-square input so the relative
+    position bias interpolation path is exercised."""
+    import torch
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import zoedepth as Z
+
+    model = _tiny_hf_zoedepth()
+    sd = hf.StateDict({k: v.numpy() for k, v in model.state_dict().items()})
+    params = Z.convert_zoedepth(sd, Z.ZOE_TINY)
+
+    x = np.random.RandomState(1).rand(2, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want_depth = out.predicted_depth.numpy()
+    want_logits = out.domain_logits.numpy()
+
+    got_depth, got_logits = Z.zoedepth_apply(params, Z.ZOE_TINY,
+                                             jnp.asarray(x))
+    got_depth = np.asarray(got_depth)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits,
+                               atol=1e-4)
+    assert got_depth.shape == want_depth.shape
+    np.testing.assert_allclose(got_depth, want_depth, atol=1e-4, rtol=1e-3)
+
+
+def test_zoedepth_detector_end_to_end_random_weights():
+    from diffusionspatialcontrol_tpu.models import zoedepth as Z
+
+    params = Z.zoedepth_init(jax.random.PRNGKey(0), Z.ZOE_TINY)
+    img = (np.random.RandomState(2).rand(50, 70, 3) * 255).astype(np.uint8)
+    out = Z.detect_zoedepth(params, img, Z.ZOE_TINY, target=(64, 96))
+    assert out.shape == (50, 70, 3)
+    assert np.all((out >= 0) & (out <= 1))
