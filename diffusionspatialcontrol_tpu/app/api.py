@@ -309,10 +309,9 @@ class ModelManager:
         """Callable (H, W, 3) image -> (H, W, 3) [0,1] control image.
 
         Pure-image detectors come from ops.preprocess.NATIVE_PREPROCESSORS;
-        'Depth' and 'Openpose' build their networks here (converted from a
+        every model-based name builds its network here (converted from a
         registered weight path, random-init fallback otherwise — identical
-        program, zero-egress). Other model-based names raise with guidance
-        (reference detector table: app.py:86-101)."""
+        program, zero-egress). Reference detector table: app.py:86-101."""
         from ..ops import preprocess as pp
 
         if name in pp.NATIVE_PREPROCESSORS:
@@ -323,9 +322,15 @@ class ModelManager:
         spec = getattr(self, "_preproc_spec", {}).get(name, (None, None,
                                                              368))
         path, cfg, detect_res = spec
-        if name == "Depth":
+        if name in ("Depth", "Normal Map"):
             from ..models.dpt import DPTConfig, convert_dpt, dpt_init
 
+            if name == "Normal Map" and path is None:
+                # the normal annotator runs over the depth network: reuse
+                # the weights registered for "Depth" when none are given
+                path, cfg, detect_res = getattr(
+                    self, "_preproc_spec", {}).get("Depth",
+                                                   (None, cfg, detect_res))
             if cfg is None:
                 cfg = DPTConfig() if path else DPTConfig(
                     # weightless fallback: small backbone, same structure
@@ -342,7 +347,10 @@ class ModelManager:
                                      jnp.float32)
             else:
                 params = dpt_init(jax.random.PRNGKey(0), cfg, jnp.float32)
-            fn = pp.make_depth_preprocessor(params, cfg)
+            if name == "Normal Map":
+                fn = pp.make_normal_map_preprocessor(params, cfg)
+            else:
+                fn = pp.make_depth_preprocessor(params, cfg)
         elif name == "Openpose":
             from ..models.openpose import (
                 convert_openpose_body,
@@ -453,13 +461,6 @@ class ModelManager:
         elif name == "Instruct Pix2Pix":
             # the reference feeds the raw image (app.py:702)
             fn = pp.NATIVE_PREPROCESSORS["None"]
-        elif name in pp.MODEL_BASED_PREPROCESSORS:
-            raise NotImplementedError(
-                f"preprocessor {name!r} has no native detector yet — "
-                f"supply a precomputed control image (native model "
-                f"detectors: {pp.NATIVE_MODEL_PREPROCESSORS}; pure-image: "
-                f"{tuple(pp.NATIVE_PREPROCESSORS)})"
-            )
         else:
             raise KeyError(
                 f"unknown preprocessor {name!r}; available: "

@@ -135,6 +135,56 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, xb_ref, skip_ref,
         out_ref[0] = res.astype(out_ref.dtype)
 
 
+def _kernel_rows(xa_ref, xb_ref_blk, scale_ref, bias_ref, w_ref, cb_ref,
+                 xb_ref, skip_ref, out_ref, acc_ref, *, offsets, h: int,
+                 w: int, m_t: int, halo: int, has_xb: bool, has_skip: bool):
+    """Row-tiled variant for large latents: grid (B, rows, C_out, C_in).
+    Each program sees its own M_t-row block plus the NEXT block (same
+    array, shifted index map) and activates M_t + halo rows — the ~halo/M_t
+    duplicated work buys expressible overlap (Pallas blocks cannot
+    overlap). Border masking uses the global row index; nominal halo
+    indices past the end of the real grid mask to zero, so the clamped
+    last-block duplicate contributes nothing."""
+    wp2 = w + 2
+    r_idx = pl.program_id(1)
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _():
+        if has_skip:
+            acc_ref[:] = skip_ref[0].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xv = jnp.concatenate([xa_ref[0], xb_ref_blk[0]], axis=0)[: m_t + halo]
+    xv = xv.astype(jnp.float32)
+    act = xv * scale_ref[0] + bias_ref[0]
+    act = act * jax.nn.sigmoid(act)
+    r = (jax.lax.broadcasted_iota(jnp.int32, (m_t + halo, 1), 0)
+         + r_idx * m_t)
+    y = r // wp2
+    xcol = r - y * wp2
+    interior = ((y >= 1) & (y <= h) & (xcol >= 1) & (xcol <= w))
+    act = jnp.where(interior, act, 0.0).astype(xa_ref.dtype)
+
+    acc = jnp.zeros_like(acc_ref)
+    for tap, off in enumerate(offsets):
+        p = jax.lax.dot_general(
+            act, w_ref[tap], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + _roll_up(p, off)[:m_t]
+    acc_ref[:] += acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        res = acc_ref[:] + cb_ref[0]
+        if has_xb:
+            res = res + xb_ref[0]
+        out_ref[0] = res.astype(out_ref.dtype)
+
+
 def _vmem_bytes(m: int, c_in_t: int, c_out_t: int, itemsize: int,
                 has_skip: bool) -> int:
     x_b = 2 * m * c_in_t * itemsize  # double-buffered input chunk
@@ -162,6 +212,35 @@ def _pick_tiles(m: int, c_in_pad: int, c_out_pad: int, itemsize: int,
     return None
 
 
+def _vmem_bytes_rows(m_t: int, halo: int, c_in_t: int, c_out_t: int,
+                     itemsize: int, has_skip: bool) -> int:
+    x_b = 4 * m_t * c_in_t * itemsize  # two block inputs, double-buffered
+    act_b = (m_t + halo) * c_in_t * 4
+    p_b = (m_t + halo) * c_out_t * 4
+    acc_b = m_t * c_out_t * 4
+    w_b = 2 * 9 * c_in_t * c_out_t * itemsize
+    out_b = m_t * c_out_t * itemsize
+    sk_b = m_t * c_out_t * itemsize if has_skip else 0
+    return x_b + act_b + p_b + acc_b + w_b + out_b + sk_b
+
+
+def _pick_row_tiles(halo: int, c_in_pad: int, c_out_pad: int, itemsize: int,
+                    has_skip: bool, budget: int = 13 * 2**20):
+    for m_t in (4096, 3072, 2048, 1536, 1024, 512):
+        if m_t < halo:
+            continue
+        for c_in_t in (256, 128):
+            if c_in_pad % c_in_t:
+                continue
+            for c_out_t in (256, 128):
+                if c_out_pad % c_out_t:
+                    continue
+                if _vmem_bytes_rows(m_t, halo, c_in_t, c_out_t, itemsize,
+                                    has_skip) <= budget:
+                    return m_t, c_in_t, c_out_t
+    return None
+
+
 def gn_silu_conv3x3(
     x: jnp.ndarray,  # (B, H, W, C_in)
     scale: jnp.ndarray,  # (B, C_in) fp32 folded GN scale
@@ -186,14 +265,23 @@ def gn_silu_conv3x3(
     c_out_pad = _round_up(c_out, 128)
     itemsize = jnp.dtype(x.dtype).itemsize
 
-    tiles = _pick_tiles(m_pad, c_in_pad, c_out_pad, itemsize,
-                        skip is not None)
+    has_skip_ = skip is not None
+    halo = _round_up(2 * wp2 + 2, 8)
+    tiles = _pick_tiles(m_pad, c_in_pad, c_out_pad, itemsize, has_skip_)
+    row_tiles = None
     if tiles is None:
-        raise ValueError(
-            f"gn_silu_conv3x3 working set too large for VMEM "
-            f"(M={m_pad}, C_in={c_in}, C_out={c_out})"
-        )
-    c_in_t, c_out_t = tiles
+        row_tiles = _pick_row_tiles(halo, c_in_pad, c_out_pad, itemsize,
+                                    has_skip_)
+        if row_tiles is None:
+            raise ValueError(
+                f"gn_silu_conv3x3 working set too large for VMEM "
+                f"(M={m_pad}, C_in={c_in}, C_out={c_out})"
+            )
+        m_t = row_tiles[0]
+        m_pad = _round_up(m, m_t)
+        c_in_t, c_out_t = row_tiles[1], row_tiles[2]
+    else:
+        c_in_t, c_out_t = tiles
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, c_in_pad - c_in)))
     xp = xp.reshape(b, m, c_in_pad)
@@ -232,40 +320,90 @@ def gn_silu_conv3x3(
         sk_spec = pl.BlockSpec((1, 8, 128), lambda i, j, k: (i, 0, 0),
                                **_MEMSPACE)
 
-    grid = (b, c_out_pad // c_out_t, c_in_pad // c_in_t)
-    scratch = (
-        [pltpu.VMEM((m_pad, c_out_t), jnp.float32)]
-        if pltpu is not None
-        else [jax.ShapeDtypeStruct((m_pad, c_out_t), jnp.float32)]
-    )
+    if row_tiles is None:
+        grid = (b, c_out_pad // c_out_t, c_in_pad // c_in_t)
+        scratch = (
+            [pltpu.VMEM((m_pad, c_out_t), jnp.float32)]
+            if pltpu is not None
+            else [jax.ShapeDtypeStruct((m_pad, c_out_t), jnp.float32)]
+        )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, offsets=offsets, h=h, w=w,
-            has_xb=has_xb, has_skip=has_skip,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out_pad), x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, m_pad, c_in_t), lambda i, j, k: (i, 0, k),
-                         **_MEMSPACE),
-            pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
-                         **_MEMSPACE),
-            pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
-                         **_MEMSPACE),
-            pl.BlockSpec((9, c_in_t, c_out_t), lambda i, j, k: (0, k, j),
-                         **_MEMSPACE),
-            pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (0, 0, j),
-                         **_MEMSPACE),
-            pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (i, 0, j),
-                         **_MEMSPACE),
-            sk_spec,
-        ],
-        out_specs=pl.BlockSpec((1, m_pad, c_out_t), lambda i, j, k: (i, 0, j),
-                               **_MEMSPACE),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(xp, scale_p, bias_p, kf, cb, xb, skp)
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel, offsets=offsets, h=h, w=w,
+                has_xb=has_xb, has_skip=has_skip,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out_pad), x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, m_pad, c_in_t), lambda i, j, k: (i, 0, k),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_in_t), lambda i, j, k: (i, 0, k),
+                             **_MEMSPACE),
+                pl.BlockSpec((9, c_in_t, c_out_t), lambda i, j, k: (0, k, j),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (0, 0, j),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_out_t), lambda i, j, k: (i, 0, j),
+                             **_MEMSPACE),
+                sk_spec,
+            ],
+            out_specs=pl.BlockSpec((1, m_pad, c_out_t),
+                                   lambda i, j, k: (i, 0, j), **_MEMSPACE),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xp, scale_p, bias_p, kf, cb, xb, skp)
+    else:
+        n_rows = m_pad // m_t
+        grid = (b, n_rows, c_out_pad // c_out_t, c_in_pad // c_in_t)
+        scratch = (
+            [pltpu.VMEM((m_t, c_out_t), jnp.float32)]
+            if pltpu is not None
+            else [jax.ShapeDtypeStruct((m_t, c_out_t), jnp.float32)]
+        )
+        if has_skip:
+            sk_spec = pl.BlockSpec((1, m_t, c_out_t),
+                                   lambda i, r, j, k: (i, r, j), **_MEMSPACE)
+        else:
+            sk_spec = pl.BlockSpec((1, 8, 128),
+                                   lambda i, r, j, k: (i, 0, 0), **_MEMSPACE)
+        last = n_rows - 1
+
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_rows, offsets=offsets, h=h, w=w, m_t=m_t, halo=halo,
+                has_xb=has_xb, has_skip=has_skip,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out_pad), x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, m_t, c_in_t),
+                             lambda i, r, j, k: (i, r, k), **_MEMSPACE),
+                # the next row block (clamped): expressible overlap for the
+                # halo rows; nominal indices past the grid mask to zero
+                pl.BlockSpec(
+                    (1, m_t, c_in_t),
+                    lambda i, r, j, k: (i, jnp.minimum(r + 1, last), k),
+                    **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_in_t), lambda i, r, j, k: (i, 0, k),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_in_t), lambda i, r, j, k: (i, 0, k),
+                             **_MEMSPACE),
+                pl.BlockSpec((9, c_in_t, c_out_t),
+                             lambda i, r, j, k: (0, k, j), **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_out_t), lambda i, r, j, k: (0, 0, j),
+                             **_MEMSPACE),
+                pl.BlockSpec((1, 1, c_out_t), lambda i, r, j, k: (i, 0, j),
+                             **_MEMSPACE),
+                sk_spec,
+            ],
+            out_specs=pl.BlockSpec((1, m_t, c_out_t),
+                                   lambda i, r, j, k: (i, r, j), **_MEMSPACE),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xp, xp, scale_p, bias_p, kf, cb, xb, skp)
 
     out = out[:, :m].reshape(b, h + 2, wp2, c_out_pad)
     return out[:, :h, :w, :c_out]

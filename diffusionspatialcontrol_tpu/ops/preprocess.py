@@ -250,6 +250,55 @@ def make_segmentation_preprocessor(params, cfg) -> Callable:
     return run
 
 
+def make_normal_map_preprocessor(params, cfg) -> Callable:
+    """Normal map from depth gradients over the native DPT depth network —
+    the ControlNet-v1 ``normal_from_midas`` annotator (Sobel gradients of
+    percentile-normalized depth, background-thresholded, unit-normalized,
+    BGR channel order). The reference's v1.1 path swaps in the NormalBae
+    NNET (app.py:739); its EfficientNet-B5 replica remains a documented
+    divergence — this produces valid normal control images natively."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.dpt import dpt_apply
+
+    apply = jax.jit(lambda p, x: dpt_apply(p, cfg, x))
+
+    def run(img: np.ndarray, a: float = 2.0 * np.pi,
+            bg_th: float = 0.1) -> np.ndarray:
+        x = np.asarray(img, np.float32)
+        if x.max() > 1.0:
+            x = x / 255.0
+        h, w = x.shape[:2]
+        side = cfg.image_size
+        small = jax.image.resize(jnp.asarray(x), (side, side, 3), "bilinear")
+        depth = np.asarray(apply(params, ((small - 0.5) / 0.5)[None])[0],
+                           np.float32)
+        depth = np.asarray(jax.image.resize(jnp.asarray(depth), (h, w),
+                                            "bilinear"))
+        depth = depth - depth.min()
+        depth = depth / max(depth.max(), 1e-8)
+
+        try:
+            import cv2
+
+            gx = cv2.Sobel(depth, cv2.CV_32F, 1, 0, ksize=3)
+            gy = cv2.Sobel(depth, cv2.CV_32F, 0, 1, ksize=3)
+        except ImportError:  # pragma: no cover - cv2 is in the image
+            gy_, gx_ = np.gradient(depth)
+            gx, gy = gx_ * 8.0, gy_ * 8.0  # ~Sobel scale
+        gz = np.ones_like(gx) * a
+        bg = depth < bg_th
+        gx[bg] = 0.0
+        gy[bg] = 0.0
+        normal = np.stack([gx, gy, gz], axis=2)
+        normal /= np.sqrt((normal**2).sum(axis=2, keepdims=True))
+        out = (normal * 0.5 + 0.5).clip(0.0, 1.0)
+        return out[:, :, ::-1].copy()  # BGR order, as the v1 annotator
+
+    return run
+
+
 def make_zoedepth_preprocessor(params, cfg=None) -> Callable:
     """ZoeDepth metric-depth detector closure (models/zoedepth.py; reference
     app.py:683-684 ZoeDetector with the zoed_nk dual-head checkpoint)."""
@@ -287,14 +336,16 @@ def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
     return run
 
 
-#: Detector names that need their own vision networks. "Depth" (DPT/MiDaS,
+#: Detector names that need their own vision networks — all implemented
+#: natively (build via ModelManager.get_preprocessor): "Depth" (DPT/MiDaS,
 #: models/dpt.py), "Openpose" (CMU body, models/openpose.py), "Semantic
-#: Segmentation" (UperNet/ConvNeXt, models/upernet.py) and "Soft Edge" /
-#: "Scribble (HED)" (models/hed.py) are implemented natively — build via
-#: ModelManager.get_preprocessor. "Instruct Pix2Pix" needs no detector
-#: (the reference feeds the raw image, app.py:702). The rest still require
-#: a precomputed control image. Names match the reference UI
-#: (app.py:86-101).
+#: Segmentation" (UperNet/ConvNeXt, models/upernet.py), "Soft Edge" /
+#: "Scribble (HED)" (models/hed.py), "Lineart"/"Lineart (anime)"
+#: (models/lineart*.py), "MLSD" (models/mlsd.py), "Zoedepth"
+#: (models/zoedepth.py), "Normal Map" (depth-gradient normals over DPT —
+#: the v1 annotator; NormalBae NNET is a documented divergence) and
+#: "Instruct Pix2Pix" (no detector: the reference feeds the raw image,
+#: app.py:702). Names match the reference UI (app.py:86-101).
 MODEL_BASED_PREPROCESSORS = (
     "Depth", "Openpose", "Soft Edge", "Scribble (HED)", "Lineart",
     "Lineart (anime)", "MLSD", "Semantic Segmentation", "Normal Map",
@@ -303,5 +354,5 @@ MODEL_BASED_PREPROCESSORS = (
 NATIVE_MODEL_PREPROCESSORS = (
     "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
     "Scribble (HED)", "Lineart", "Lineart (anime)", "Instruct Pix2Pix",
-    "MLSD", "Zoedepth",
+    "MLSD", "Zoedepth", "Normal Map",
 )

@@ -84,10 +84,22 @@ def test_fused_conv_nonsquare_and_odd_dims():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
+def test_fused_conv_row_tiled_path():
+    # 1920x1088-scale latent rows (M=33396) exceed the single-slab VMEM
+    # budget and take the row-tiled kernel (overlapping halo blocks).
+    x, gn, cv, temb, skip = _setup(b=1, h=136, w=240, c_in=16, c_out=16)
+    ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=4)))
+           + temb[:, None, None, :] + skip)
+    s, b = fold_group_norm(gn, x, num_groups=4)
+    got = gn_silu_conv3x3(x, s, b, cv["kernel"], cv["bias"],
+                          channel_bias=temb, skip=skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
 def test_fused_conv_vmem_guard_raises():
-    # 1920x1088-scale latents at full width cannot fit the single-slab
-    # kernel; callers fall back to the XLA path.
-    x = jnp.zeros((1, 136, 240, 320), jnp.bfloat16)
+    # absurd widths exceed even the row-tiled halo budget; callers fall
+    # back to the XLA path.
+    x = jnp.zeros((1, 4, 2560, 320), jnp.bfloat16)
     s = jnp.zeros((1, 320), jnp.float32)
     k = jnp.zeros((3, 3, 320, 320), jnp.bfloat16)
     with pytest.raises(ValueError):

@@ -315,8 +315,16 @@ def test_manager_preprocessor_registry():
     assert m.get_preprocessor("Openpose") is pose_fn  # cached
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        m.get_preprocessor("Normal Map")  # the one remaining model gap
+    # every model-based name now has a native detector
+    from diffusionspatialcontrol_tpu.ops.preprocess import (
+        MODEL_BASED_PREPROCESSORS,
+        NATIVE_MODEL_PREPROCESSORS,
+    )
+
+    assert set(MODEL_BASED_PREPROCESSORS) <= set(NATIVE_MODEL_PREPROCESSORS)
+    normal = m.get_preprocessor("Normal Map")(img)
+    assert normal.shape == (64, 64, 3)
+    assert np.all((normal >= 0) & (normal <= 1))
     with _pytest.raises(KeyError):
         m.get_preprocessor("Nonsense")
 
