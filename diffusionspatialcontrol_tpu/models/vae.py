@@ -30,7 +30,30 @@ def _resnet_init(key, in_c, out_c, dtype):
     return p
 
 
-def _resnet_apply(p, x, groups):
+def _resnet_apply(p, x, groups, conv_impl: str = "xla"):
+    if conv_impl == "pallas":
+        # Same fused one-HBM-pass branch as the UNet resnets (ops/pallas/
+        # conv_fused.py); the decoder's large spatial maps (up to 512^2)
+        # take the row-tiled kernel. Falls back per-resnet when the tile
+        # search fails.
+        from ..ops.pallas.conv_fused import (
+            fold_group_norm,
+            gn_silu_conv3x3,
+        )
+
+        try:
+            s1, b1 = fold_group_norm(p["norm1"], x, groups, 1e-6)
+            h = gn_silu_conv3x3(x, s1, b1, p["conv1"]["kernel"].astype(
+                x.dtype), p["conv1"]["bias"])
+            s2, b2 = fold_group_norm(p["norm2"], h, groups, 1e-6)
+            if "conv_shortcut" in p:
+                sc = conv2d(p["conv_shortcut"], x, padding="VALID")
+            else:
+                sc = x
+            return gn_silu_conv3x3(h, s2, b2, p["conv2"]["kernel"].astype(
+                h.dtype), p["conv2"]["bias"], skip=sc)
+        except ValueError:
+            pass
     h = silu(group_norm(p["norm1"], x, groups, 1e-6))
     h = conv2d(p["conv1"], h)
     h = silu(group_norm(p["norm2"], h, groups, 1e-6))
@@ -203,7 +226,7 @@ def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
     h = conv2d(enc["conv_in"], images)
     for block in enc["down_blocks"]:
         for r in block["resnets"]:
-            h = _resnet_apply(r, h, g)
+            h = _resnet_apply(r, h, g, conv_impl)
         if "downsample" in block:
             # diffusers pads asymmetrically (0,1,0,1) for stride-2 downsample.
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -236,7 +259,8 @@ def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
 
 def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray,
                cond_image: jnp.ndarray | None = None,
-               cond_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+               cond_mask: jnp.ndarray | None = None,
+               conv_impl: str = "xla") -> jnp.ndarray:
     """latents: (B, h, w, 4) *scaled*; returns images (B, 8h, 8w, 3) in
     [-1, 1] (fp32).
 
@@ -277,13 +301,13 @@ def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray,
 
     h = conv2d(dec["post_quant_conv"], z, padding="VALID")
     h = conv2d(dec["conv_in"], h)
-    h = _resnet_apply(dec["mid"]["resnet1"], h, g)
+    h = _resnet_apply(dec["mid"]["resnet1"], h, g, conv_impl)
     h = _attn_apply(dec["mid"]["attention"], h, g)
-    h = _resnet_apply(dec["mid"]["resnet2"], h, g)
+    h = _resnet_apply(dec["mid"]["resnet2"], h, g, conv_impl)
     for block in dec["up_blocks"]:
         h = blend(h)
         for r in block["resnets"]:
-            h = _resnet_apply(r, h, g)
+            h = _resnet_apply(r, h, g, conv_impl)
         if "upsample" in block:
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")

@@ -410,7 +410,7 @@ def _sample_core(
                     return_history=return_history, **dict(solver_opts))
     x, hist = res if return_history else (res, None)
     if decode:
-        x = vae_decode(params["vae"], model_cfg.vae, x)
+        x = vae_decode(params["vae"], model_cfg.vae, x, conv_impl=attn_impl)
         if uint8_output:
             # device-side uint8 conversion: 4x less host transfer (the
             # device->host link dominates serving latency)
@@ -987,7 +987,7 @@ class StableDiffusionTPU:
             out = vae_decode(
                 self.params["vae"], self.model_cfg.vae, out,
                 cond_image=init_image * (1.0 - mask_full),
-                cond_mask=mask_full,
+                cond_mask=mask_full, conv_impl=self.attn_impl,
             )
         return out
 
@@ -1001,7 +1001,8 @@ class StableDiffusionTPU:
         )
 
     def decode_latents(self, latents: jnp.ndarray):
-        return vae_decode(self.params["vae"], self.model_cfg.vae, latents)
+        return vae_decode(self.params["vae"], self.model_cfg.vae, latents,
+                          conv_impl=self.attn_impl)
 
     @staticmethod
     def to_uint8(images: jnp.ndarray) -> np.ndarray:

@@ -139,3 +139,16 @@ def test_unet_conv_impl_pallas_matches_xla():
                      conv_impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_vae_decode_conv_impl_pallas_matches_xla():
+    from diffusionspatialcontrol_tpu.config import VAEConfig
+    from diffusionspatialcontrol_tpu.models.vae import vae_decode, vae_init
+
+    cfg = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
+    params = vae_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4)) * 0.2
+    ref = vae_decode(params, cfg, z)
+    got = vae_decode(params, cfg, z, conv_impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-3)
