@@ -32,6 +32,10 @@ REFERENCE_CONTROLLED_S = 5.0  # README.md:65, 1x T4
 REFERENCE_VANILLA_S = 4.6
 
 ATTN_IMPL = "pallas"  # fused Pallas kernels: ~13% faster than XLA attention
+# Resnet conv path: "pallas" = fused GN+SiLU+conv kernel (default), "xla" =
+# the lax.conv chain (round-1 program, useful when the remote compile
+# service rejects the larger kernel set). Override: BENCH_CONV_IMPL env.
+CONV_IMPL = __import__("os").environ.get("BENCH_CONV_IMPL", "pallas")
 
 
 def timed_runs(fn, n=5):
@@ -58,7 +62,7 @@ def main():
     )
     tok = load_tokenizer()
     pipe = StableDiffusionTPU(cfg, params, tokenizer=tok,
-                              attn_impl=ATTN_IMPL)
+                              attn_impl=ATTN_IMPL, conv_impl=CONV_IMPL)
     gen = GenerationConfig(height=512, width=512, num_inference_steps=25,
                            guidance_scale=7.5, sampler="dpmpp_2m",
                            schedule="karras")
@@ -108,6 +112,7 @@ def main():
                 "overhead_pct": round(overhead, 2),
                 "images_per_min_chip": round(60.0 / controlled, 2),
                 "attn_impl": ATTN_IMPL,
+                "conv_impl": CONV_IMPL,
             }
         )
     )

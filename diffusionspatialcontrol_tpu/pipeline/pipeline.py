@@ -368,6 +368,7 @@ def make_denoise_fn(
         "guidance_scale",
         "guidance_rescale",
         "attn_impl",
+        "conv_impl",
         "solver_opts",
         "decode",
         "compute_dtype",
@@ -391,6 +392,7 @@ def _sample_core(
     attn_impl: str,
     solver_opts: Tuple[Tuple[str, Any], ...],
     decode: bool,
+    conv_impl: Optional[str] = None,
     compute_dtype=jnp.bfloat16,
     return_history: bool = False,
     uint8_output: bool = False,
@@ -403,14 +405,15 @@ def _sample_core(
         params, model_cfg, context, region_biases, log_table,
         guidance_scale, guidance_rescale, attn_impl,
         compute_dtype=compute_dtype, extras=extras,
-        sigma_steps=sigmas[:-1],
+        sigma_steps=sigmas[:-1], conv_impl=conv_impl,
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     res = solver_fn(denoise, latents, sigmas, noise=noise,
                     return_history=return_history, **dict(solver_opts))
     x, hist = res if return_history else (res, None)
     if decode:
-        x = vae_decode(params["vae"], model_cfg.vae, x, conv_impl=attn_impl)
+        ci = attn_impl if conv_impl is None else conv_impl
+        x = vae_decode(params["vae"], model_cfg.vae, x, conv_impl=ci)
         if uint8_output:
             # device-side uint8 conversion: 4x less host transfer (the
             # device->host link dominates serving latency)
@@ -426,8 +429,8 @@ def _sample_core(
     jax.jit,
     static_argnames=(
         "model_cfg", "solver_name", "sigmas_key", "guidance_scale",
-        "guidance_rescale", "attn_impl", "solver_opts", "compute_dtype",
-        "segment_size",
+        "guidance_rescale", "attn_impl", "conv_impl", "solver_opts",
+        "compute_dtype", "segment_size",
     ),
 )
 def _sample_chunk(
@@ -449,6 +452,7 @@ def _sample_chunk(
     solver_opts: Tuple[Tuple[str, Any], ...],
     compute_dtype=jnp.bfloat16,
     segment_size: int = 1,
+    conv_impl: Optional[str] = None,
 ):
     """One ``segment_size``-step chunk of the sampling scan (see
     StableDiffusionTPU.sample_chunked)."""
@@ -459,7 +463,7 @@ def _sample_chunk(
         params, model_cfg, context, region_biases, log_table,
         guidance_scale, guidance_rescale, attn_impl,
         compute_dtype=compute_dtype, extras=extras,
-        sigma_steps=sigmas[:-1],
+        sigma_steps=sigmas[:-1], conv_impl=conv_impl,
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     return solver_fn(
@@ -483,7 +487,8 @@ class StableDiffusionTPU:
     (model_k_diffusion.py:943, 543, 1365)."""
 
     def __init__(self, model_cfg: ModelConfig, params: Dict[str, Any],
-                 tokenizer=None, attn_impl: Optional[str] = None):
+                 tokenizer=None, attn_impl: Optional[str] = None,
+                 conv_impl: Optional[str] = None):
         self.model_cfg = model_cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -494,6 +499,8 @@ class StableDiffusionTPU:
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
         self.attn_impl = attn_impl
+        # resnet conv path; None follows attn_impl (fused Pallas on TPU)
+        self.conv_impl = conv_impl
         self.sigma_table = schedules.ddpm_sigma_table(model_cfg)
 
     # -- prompt encoding ----------------------------------------------------
@@ -693,6 +700,7 @@ class StableDiffusionTPU:
             guidance_scale=gen.guidance_scale,
             guidance_rescale=gen.guidance_rescale,
             attn_impl=self.attn_impl,
+            conv_impl=self.conv_impl,
             solver_opts=tuple(sorted(self._solver_opts(
                 gen, self._schedule(gen)[1]).items())),
             decode=decode,
@@ -761,6 +769,7 @@ class StableDiffusionTPU:
                 guidance_scale=gen.guidance_scale,
                 guidance_rescale=gen.guidance_rescale,
                 attn_impl=self.attn_impl,
+                conv_impl=self.conv_impl,
                 solver_opts=opts,
                 compute_dtype=gen.dtype,
                 segment_size=size,
@@ -987,7 +996,8 @@ class StableDiffusionTPU:
             out = vae_decode(
                 self.params["vae"], self.model_cfg.vae, out,
                 cond_image=init_image * (1.0 - mask_full),
-                cond_mask=mask_full, conv_impl=self.attn_impl,
+                cond_mask=mask_full,
+                conv_impl=(self.conv_impl or self.attn_impl),
             )
         return out
 
@@ -1002,7 +1012,7 @@ class StableDiffusionTPU:
 
     def decode_latents(self, latents: jnp.ndarray):
         return vae_decode(self.params["vae"], self.model_cfg.vae, latents,
-                          conv_impl=self.attn_impl)
+                          conv_impl=(self.conv_impl or self.attn_impl))
 
     @staticmethod
     def to_uint8(images: jnp.ndarray) -> np.ndarray:
