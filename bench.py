@@ -63,6 +63,10 @@ def main():
     tok = load_tokenizer()
     pipe = StableDiffusionTPU(cfg, params, tokenizer=tok,
                               attn_impl=ATTN_IMPL, conv_impl=CONV_IMPL)
+
+    def build_pipe(conv_impl):
+        return StableDiffusionTPU(cfg, params, tokenizer=tok,
+                                  attn_impl=ATTN_IMPL, conv_impl=conv_impl)
     gen = GenerationConfig(height=512, width=512, num_inference_steps=25,
                            guidance_scale=7.5, sampler="dpmpp_2m",
                            schedule="karras")
@@ -84,7 +88,23 @@ def main():
     biases = pipe.encode_region([state], ids, height=h, width=w, do_cfg=True)
 
     # warmup/compile (np.asarray: see timed_runs on why not block_until_ready)
-    np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+    # The remote compile service intermittently drops large-program compile
+    # requests ("Broken pipe"); if the fused-conv program cannot compile,
+    # fall back to the XLA-conv program (round-1 equivalent) so the bench
+    # still produces its number.
+    conv_impl = CONV_IMPL
+    try:
+        np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+    except Exception as e:  # jax.errors.JaxRuntimeError on relay failure
+        if conv_impl == "xla":
+            raise
+        import sys
+
+        print(f"fused-conv compile failed ({type(e).__name__}); "
+              f"falling back to conv_impl=xla", file=sys.stderr, flush=True)
+        conv_impl = "xla"
+        pipe = build_pipe(conv_impl)
+        np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
     np.asarray(
         pipe.txt2img(ctx, gen, seed=0, region_biases=biases,
                      uint8_output=True)
@@ -112,7 +132,7 @@ def main():
                 "overhead_pct": round(overhead, 2),
                 "images_per_min_chip": round(60.0 / controlled, 2),
                 "attn_impl": ATTN_IMPL,
-                "conv_impl": CONV_IMPL,
+                "conv_impl": conv_impl,
             }
         )
     )
