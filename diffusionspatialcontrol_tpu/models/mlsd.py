@@ -16,7 +16,7 @@ fn is a pure conv/affine/ReLU chain — one XLA program, NHWC throughout.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
