@@ -216,7 +216,8 @@ def mask_condition_encoder_apply(p, cfg: VAEConfig, masked_image, mask):
 
 
 def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
-               rng: jnp.ndarray | None = None, sample_mode: str = "sample"):
+               rng: jnp.ndarray | None = None, sample_mode: str = "sample",
+               conv_impl: str = "xla"):
     """images: (B, H, W, 3) in [-1, 1]. Returns latents (B, H/8, W/8, 4)
     scaled by ``scaling_factor``. ``sample_mode``: 'sample' draws from the
     posterior (reference: retrieve_latents, model_k_diffusion.py:52-58);
@@ -231,9 +232,9 @@ def vae_encode(params, cfg: VAEConfig, images: jnp.ndarray,
             # diffusers pads asymmetrically (0,1,0,1) for stride-2 downsample.
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = conv2d(block["downsample"], h, stride=2, padding="VALID")
-    h = _resnet_apply(enc["mid"]["resnet1"], h, g)
+    h = _resnet_apply(enc["mid"]["resnet1"], h, g, conv_impl)
     h = _attn_apply(enc["mid"]["attention"], h, g)
-    h = _resnet_apply(enc["mid"]["resnet2"], h, g)
+    h = _resnet_apply(enc["mid"]["resnet2"], h, g, conv_impl)
     h = silu(group_norm(enc["conv_norm_out"], h, g, 1e-6))
     h = conv2d(enc["conv_out"], h)
     moments = conv2d(enc["quant_conv"], h, padding="VALID")
