@@ -295,6 +295,46 @@ class ModelManager:
                 )
         return self._adapters[key]
 
+    def register_face_embedder(self, path: Optional[str] = None, cfg=None):
+        """Configure the FaceID identity embedder: an ArcFace iResNet
+        (models/arcface.py) converted from an ``arcface_torch``
+        ``backbone.pth`` (the insightface buffalo_l recognition weights'
+        torch layout), or random-init with ``cfg`` (identical program).
+        Without registration the deterministic stub embedder is used
+        (ops/face_embed.py)."""
+        self._face_spec = (path, cfg)
+        self._adapters.pop("face_embedder", None)
+
+    def get_face_embedder(self):
+        """Callable (H, W, 3) face crop -> (512,) L2-normalized embedding
+        (insightface ``normed_embedding`` contract)."""
+        if "face_embedder" in self._adapters:
+            return self._adapters["face_embedder"]
+        spec = getattr(self, "_face_spec", None)
+        if spec is None:
+            from ..ops.face_embed import embed_face
+
+            return embed_face
+        path, cfg = spec
+        from ..models.arcface import (
+            ArcFaceConfig,
+            arcface_init,
+            convert_arcface,
+            make_arcface_embedder,
+        )
+
+        acfg = cfg or ArcFaceConfig()
+        if path:
+            from ..convert.hf import load_state_dict
+
+            params = convert_arcface(load_state_dict(path), acfg,
+                                     jnp.float32)
+        else:
+            params = arcface_init(jax.random.PRNGKey(0), acfg, jnp.float32)
+        fn = make_arcface_embedder(params, acfg)
+        self._adapters["face_embedder"] = fn
+        return fn
+
     def register_preprocessor(self, name: str, path: Optional[str] = None,
                               cfg=None, detect_resolution: int = 368):
         """Configure a model-based control preprocessor ('Depth' /
@@ -322,12 +362,37 @@ class ModelManager:
         spec = getattr(self, "_preproc_spec", {}).get(name, (None, None,
                                                              368))
         path, cfg, detect_res = spec
-        if name in ("Depth", "Normal Map"):
+        if name == "Normal Map" and (path is not None or _is_nnet_cfg(cfg)):
+            # the reference's "Normal Map" detector is NNET
+            # (NormalBaeDetector, reference app.py:739): registered weights
+            # = the scannet.pt layout; with only a config, random-init NNET
+            # (identical program). Without either, fall through to the
+            # depth-gradient fallback over DPT below.
+            from ..models.normalbae import (
+                NormalBaeConfig,
+                convert_nnet,
+                nnet_init,
+            )
+
+            ncfg = cfg or NormalBaeConfig()
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_nnet(load_state_dict(path), ncfg,
+                                      jnp.float32)
+            else:
+                params = nnet_init(jax.random.PRNGKey(0), ncfg, jnp.float32)
+            fn = pp.make_normalbae_preprocessor(
+                params, ncfg,
+                detect_res=detect_res if detect_res != 368 else 512,
+            )
+        elif name in ("Depth", "Normal Map"):
             from ..models.dpt import DPTConfig, convert_dpt, dpt_init
 
             if name == "Normal Map" and path is None:
-                # the normal annotator runs over the depth network: reuse
-                # the weights registered for "Depth" when none are given
+                # weightless NNET-free fallback: depth-gradient normals
+                # over the depth network, reusing any weights registered
+                # for "Depth" (documented divergence, DIVERGENCES.md)
                 path, cfg, detect_res = getattr(
                     self, "_preproc_spec", {}).get("Depth",
                                                    (None, cfg, detect_res))
@@ -557,55 +622,37 @@ def inference(
         model, loras=loras, ti_embeddings=ti_embeddings
     )
 
+    grid_prompts = grid_states = grid_seeds = None
     if isinstance(prompt, (list, tuple)) and len(prompt) > 1:
-        if (init_image is not None or controlnet_units or t2i_units
-                or ip_adapter_units or (hires_scale and hires_scale > 1.0)
+        # Conditioning units ARE supported in grid mode (the unit image
+        # serves the whole prompts x seeds fan-out, like the reference's
+        # single control image with num_images_per_prompt); init-image,
+        # hires and preview stay single-prompt.
+        if (init_image is not None or (hires_scale and hires_scale > 1.0)
                 or latent_preview):
             raise ValueError(
-                "multi-prompt batch supports plain txt2img only"
+                "multi-prompt batch supports txt2img (with optional "
+                "conditioning units) only — no init image / hires / preview"
             )
-        pipe = StableDiffusionTPU(model_cfg, params, tokenizer=tokenizer)
-        spec = registry.resolve_sampler(sampler)
-        gen = GenerationConfig(
-            height=height, width=width, num_inference_steps=steps,
-            guidance_scale=cfg_scale, guidance_rescale=guidance_rescale,
-            sampler=spec.solver, schedule=spec.schedule, eta=eta,
-            clip_skip=clip_skip, dtype=dtype,
-        )
-        prompts = list(prompt)
-        states = (
+        grid_prompts = list(prompt)
+        grid_states = (
             list(region_state)
             if isinstance(region_state, (list, tuple))
-            else [region_state] * len(prompts)
+            else [region_state] * len(grid_prompts)
         )
-        if len(states) != len(prompts):
+        if len(grid_states) != len(grid_prompts):
             raise ValueError(
-                f"{len(states)} region states for {len(prompts)} prompts"
+                f"{len(grid_states)} region states for "
+                f"{len(grid_prompts)} prompts"
             )
-        seeds = (
+        grid_seeds = (
             [int(s) for s in seed]
             if isinstance(seed, (list, tuple, np.ndarray))
             else [int(seed) + i for i in range(num_images_per_prompt)]
         )
-        from ..parallel.batched import generate_grid
-
-        with timer.phase("sample"):
-            out = generate_grid(
-                pipe, prompts, seeds, gen, negative_prompt=neg_prompt,
-                region_states=states, mesh="auto",
-                encoding_mode=encoding_mode,
-            )
-        watchdog.check()
-        with timer.phase("to_host"):
-            images = StableDiffusionTPU.to_uint8(out)
-        return {
-            "images": images,
-            "timings": timer.summary(model=model, sampler=sampler,
-                                     steps=steps),
-        }
-    if isinstance(prompt, (list, tuple)):
+    elif isinstance(prompt, (list, tuple)):
         prompt = prompt[0]
-    if isinstance(region_state, (list, tuple)):
+    if grid_prompts is None and isinstance(region_state, (list, tuple)):
         region_state = region_state[0]
 
     loaded_ip = None
@@ -643,86 +690,148 @@ def inference(
         dtype=dtype,
     )
 
-    with timer.phase("encode"):
-        context, ids = pipe.encode_prompt(
-            [prompt], [neg_prompt], clip_skip=clip_skip, mode=encoding_mode,
-            num_images_per_prompt=num_images_per_prompt,
-        )
-        region_biases = None
-        if region_state:
-            region_biases = pipe.encode_region(
-                [region_state], ids, height=height, width=width,
+    if grid_prompts is None:
+        with timer.phase("encode"):
+            context, ids = pipe.encode_prompt(
+                [prompt], [neg_prompt], clip_skip=clip_skip,
+                mode=encoding_mode,
                 num_images_per_prompt=num_images_per_prompt,
             )
-    watchdog.check()
+            region_biases = None
+            if region_state:
+                region_biases = pipe.encode_region(
+                    [region_state], ids, height=height, width=width,
+                    num_images_per_prompt=num_images_per_prompt,
+                )
+        watchdog.check()
 
+    # one conditioning image serves every generated sample: the whole grid
+    # in grid mode, the num_images_per_prompt fan-out otherwise
+    unit_fan = (
+        len(grid_prompts) * len(grid_seeds)
+        if grid_prompts is not None
+        else num_images_per_prompt
+    )
     extras: Optional[DenoiseExtras] = None
+    cn_params = cn_imgs_raw = t2i_params = t2i_imgs_raw = None
+    ip_extras: Optional[DenoiseExtras] = None
     with timer.phase("conditioning"):
         if controlnet_units:
             cn_params = [
                 manager.get_controlnet(u.model, model_cfg.unet)
                 for u in controlnet_units
             ]
-            imgs = [
-                _unit_batch(_maybe_preprocess(manager, u),
-                            num_images_per_prompt)
-                for u in controlnet_units
+            cn_imgs_raw = [
+                _maybe_preprocess(manager, u) for u in controlnet_units
             ]
-            extras = pipe.build_controlnet_extras(
-                gen, cn_params, imgs,
-                scales=[u.scale for u in controlnet_units],
-                starts=[u.guidance_start for u in controlnet_units],
-                ends=[u.guidance_end for u in controlnet_units],
-                guess_mode=any(u.guess_mode for u in controlnet_units),
-            )
         if t2i_units:
-            # reference: adapter residuals precomputed once per generation
-            # (t2i_adapter.py:90-118), active while step < steps*factor
             t2i_params = [
                 manager.get_t2i_adapter(u.model, model_cfg.unet)
                 for u in t2i_units
             ]
-            t2i_imgs = [
-                _unit_batch(_maybe_preprocess(manager, u),
-                            num_images_per_prompt)
-                for u in t2i_units
+            t2i_imgs_raw = [
+                _maybe_preprocess(manager, u) for u in t2i_units
             ]
-            extras = pipe.build_t2i_extras(
-                gen, t2i_params, t2i_imgs,
-                scales=[u.scale for u in t2i_units],
-                conditioning_factor=min(
-                    u.conditioning_factor for u in t2i_units
-                ),
-                base=extras,
-            )
         if ip_adapter_units:
             embeds, uncond_embeds = [], []
             for u, ad in zip(ip_adapter_units, loaded_ip):
                 e, ue = _ip_unit_embeds(manager, u, ad)
-                if num_images_per_prompt > 1 and e.shape[0] == 1:
+                if unit_fan > 1 and e.shape[0] == 1:
                     # one reference image serves the whole fan-out
                     # (reference repeats embeds per image,
                     # model_k_diffusion.py:205-214)
-                    e = jnp.repeat(e, num_images_per_prompt, axis=0)
-                    ue = jnp.repeat(ue, num_images_per_prompt, axis=0)
+                    e = jnp.repeat(e, unit_fan, axis=0)
+                    ue = jnp.repeat(ue, unit_fan, axis=0)
                 embeds.append(e)
                 uncond_embeds.append(ue)
-            extras = pipe.build_ip_extras(
+            # IP tokens/masks are resolution-free (masks are downsampled
+            # per attention layer); built once, reused by the hires pass.
+            ip_extras = pipe.build_ip_extras(
                 loaded_ip, embeds,
                 scales=[u.scale for u in ip_adapter_units],
                 masks=(
                     [
                         None if u.mask is None
-                        else _unit_batch(u.mask, num_images_per_prompt)
+                        else _unit_batch(u.mask, unit_fan)
                         for u in ip_adapter_units
                     ]
                     if any(u.mask is not None for u in ip_adapter_units)
                     else None
                 ),
                 uncond_image_embeds=uncond_embeds,
-                base=extras,
             )
+
+        def build_unit_extras(gen_for):
+            """Unit extras at gen_for's resolution. ControlNet cond-images
+            and T2I residuals are resolution-bound, so the hires pass calls
+            this again with the target-size config — the reference likewise
+            re-prepares unit images inside its hires recursion
+            (model_k_diffusion.py:1206-1212)."""
+            ex = None
+            if controlnet_units:
+                imgs = [
+                    _unit_batch(
+                        _fit_unit_image(im, gen_for.height, gen_for.width),
+                        unit_fan,
+                    )
+                    for im in cn_imgs_raw
+                ]
+                ex = pipe.build_controlnet_extras(
+                    gen_for, cn_params, imgs,
+                    scales=[u.scale for u in controlnet_units],
+                    starts=[u.guidance_start for u in controlnet_units],
+                    ends=[u.guidance_end for u in controlnet_units],
+                    guess_mode=any(u.guess_mode for u in controlnet_units),
+                )
+            if t2i_units:
+                # reference: adapter residuals precomputed once per
+                # generation (t2i_adapter.py:90-118), active while
+                # step < steps*factor
+                imgs = [
+                    _unit_batch(
+                        _fit_unit_image(im, gen_for.height, gen_for.width),
+                        unit_fan,
+                    )
+                    for im in t2i_imgs_raw
+                ]
+                ex = pipe.build_t2i_extras(
+                    gen_for, t2i_params, imgs,
+                    scales=[u.scale for u in t2i_units],
+                    conditioning_factor=min(
+                        u.conditioning_factor for u in t2i_units
+                    ),
+                    base=ex,
+                )
+            if ip_extras is not None:
+                ex = dataclasses.replace(
+                    ex or DenoiseExtras(),
+                    ip_tokens=ip_extras.ip_tokens,
+                    ip_scales=ip_extras.ip_scales,
+                    ip_masks=ip_extras.ip_masks,
+                )
+            return ex
+
+        if controlnet_units or t2i_units or ip_adapter_units:
+            extras = build_unit_extras(gen)
     watchdog.check()
+
+    if grid_prompts is not None:
+        from ..parallel.batched import generate_grid
+
+        with timer.phase("sample"):
+            out = generate_grid(
+                pipe, grid_prompts, grid_seeds, gen,
+                negative_prompt=neg_prompt, region_states=grid_states,
+                mesh="auto", encoding_mode=encoding_mode, extras=extras,
+            )
+        watchdog.check()
+        with timer.phase("to_host"):
+            images = StableDiffusionTPU.to_uint8(out)
+        return {
+            "images": images,
+            "timings": timer.summary(model=model, sampler=sampler,
+                                     steps=steps),
+        }
 
     hires = None
     if hires_scale and hires_scale > 1.0:
@@ -740,6 +849,8 @@ def inference(
             hires["region_state"] = (
                 [region_state], ids, num_images_per_prompt
             )
+        if controlnet_units or t2i_units:
+            hires["rebuild_extras"] = build_unit_extras
 
     batch = num_images_per_prompt
     with timer.phase("sample"):
@@ -749,7 +860,7 @@ def inference(
                 context, jnp.asarray(img),
                 jnp.asarray(inpaint_mask[None], jnp.float32), gen,
                 strength=strength, seed=seed, region_biases=region_biases,
-                extras=extras,
+                extras=extras, return_history=latent_preview,
             )
         elif init_image is not None:
             img = _to_pm1(init_image)[None]
@@ -757,6 +868,7 @@ def inference(
             out = pipe.img2img(
                 context, latents, gen, strength=strength, seed=seed,
                 region_biases=region_biases, extras=extras,
+                return_history=latent_preview,
             )
         elif cancel_check_steps and hires is None and not latent_preview:
             # in-scan watchdog: the reference checks its timeout inside
@@ -775,19 +887,24 @@ def inference(
             res = pipe.txt2img(
                 context, gen, seed=seed, region_biases=region_biases,
                 batch_size=batch, extras=extras, hires=hires,
-                return_history=latent_preview and hires is None,
-                uint8_output=not latent_preview and hires is None,
+                return_history=latent_preview,
+                uint8_output=not latent_preview,
             )
             out = res
         previews = None
         if latent_preview and isinstance(out, tuple):
+            # history is one stacked (steps, B, h, w, 4) array, or a list
+            # of them when hires ran (base pass + hires pass — reference
+            # spans both, model_k_diffusion.py:1221-1224)
             out, history = out
+            hists = history if isinstance(history, list) else [history]
             with timer.phase("preview_decode"):
                 previews = [
                     StableDiffusionTPU.to_uint8(
-                        pipe.decode_latents(history[i])
+                        pipe.decode_latents(hist[i])
                     )
-                    for i in range(history.shape[0])
+                    for hist in hists
+                    for i in range(hist.shape[0])
                 ]
     watchdog.check()
 
@@ -803,10 +920,31 @@ def inference(
     return result
 
 
+def _is_nnet_cfg(cfg) -> bool:
+    from ..models.normalbae import NormalBaeConfig
+
+    return isinstance(cfg, NormalBaeConfig)
+
+
 def _maybe_preprocess(manager: ModelManager, unit) -> np.ndarray:
     if unit.preprocessor:
         return manager.get_preprocessor(unit.preprocessor)(unit.image)
     return unit.image
+
+
+def _fit_unit_image(img, h: int, w: int) -> jnp.ndarray:
+    """Resize a processed unit image (H, W, C) to the generation size.
+
+    The reference resizes the (already preprocessed) control image to the
+    call's width/height inside prepare_image every pass, which is how its
+    hires recursion gets target-size cond features
+    (model_k_diffusion.py:1206-1212)."""
+    arr = jnp.asarray(img, jnp.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[0] == h and arr.shape[1] == w:
+        return arr
+    return jax.image.resize(arr, (h, w, arr.shape[-1]), "bilinear")
 
 
 def _unit_batch(img, n: int) -> jnp.ndarray:
@@ -846,9 +984,8 @@ def _ip_unit_embeds(manager: ModelManager, unit: IPAdapterUnit, adapter):
         and adapter.proj_params["ff_in"]["kernel"].shape[0] == 512
     )
     if is_faceid:
-        from ..ops.face_embed import embed_face
-
-        embedder = unit.face_embedder or embed_face
+        # unit override > manager-registered ArcFace network > stub
+        embedder = unit.face_embedder or manager.get_face_embedder()
         emb = jnp.asarray(embedder(unit.image))[None]
         return emb, jnp.zeros_like(emb)
 

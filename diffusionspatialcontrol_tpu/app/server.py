@@ -124,14 +124,26 @@ class _Handler(BaseHTTPRequestHandler):
                     "neg_prompt", "sampler", "steps", "cfg_scale", "width",
                     "height", "seed", "num_images_per_prompt", "clip_skip",
                     "encoding_mode", "guidance_rescale", "strength",
-                    "hires_scale", "hires_strength", "hires_mode", "eta",
-                    "cancel_check_steps", "timeout",
+                    "hires_scale", "hires_strength", "hires_mode",
+                    "hires_steps", "eta", "cancel_check_steps", "timeout",
+                    "latent_preview",
                 )
                 if k in req
             }
 
             def _img(v):
                 return None if v is None else np.asarray(v, np.float32)
+
+            if req.get("init_image") is not None:
+                arr = np.asarray(req["init_image"], np.float32)
+                # JSON images arrive as 0..255 lists; inference's _to_pm1
+                # keys the convention off uint8 dtype
+                kwargs["init_image"] = (
+                    arr.astype(np.uint8) if arr.max() > 1.5 else arr
+                )
+            if req.get("inpaint_mask") is not None:
+                kwargs["inpaint_mask"] = np.asarray(req["inpaint_mask"],
+                                                    np.float32)
 
             if req.get("loras"):
                 kwargs["loras"] = [
@@ -188,13 +200,16 @@ class _Handler(BaseHTTPRequestHandler):
                     region_state=region_state,
                     **kwargs,
                 )
-            self._json(
-                200,
-                {
-                    "images": _encode_images(result["images"]),
-                    "timings": result["timings"],
-                },
-            )
+            payload = {
+                "images": _encode_images(result["images"]),
+                "timings": result["timings"],
+            }
+            if result.get("previews") is not None:
+                # per-step galleries; spans base + hires passes
+                payload["previews"] = [
+                    _encode_images(p) for p in result["previews"]
+                ]
+            self._json(200, payload)
         except Exception as e:  # noqa: BLE001 - report to client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -499,8 +499,12 @@ class StableDiffusionTPU:
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
         self.attn_impl = attn_impl
-        # resnet conv path; None follows attn_impl (fused Pallas on TPU)
-        self.conv_impl = conv_impl
+        # Resnet conv path. Default "xla": the round-3 A/B showed XLA's
+        # conv+fusion pipeline beats the fused Pallas GN+SiLU+conv kernel
+        # at the hot shapes (level0 64x64x320 pair 276 ms vs 443 ms / 20
+        # iters; whole-pipeline BENCH_r02 0.831 s pallas vs 0.720 s xla).
+        # "pallas" remains selectable for future kernel work (PERF.md).
+        self.conv_impl = conv_impl or "xla"
         self.sigma_table = schedules.ddpm_sigma_table(model_cfg)
 
     # -- prompt encoding ----------------------------------------------------
@@ -814,6 +818,11 @@ class StableDiffusionTPU:
         ``seed`` may be a list (one per batch element): each sample's
         latents/noise then depend only on its own seed, making results
         invariant to batch composition and mesh shape (SURVEY.md §4 item e).
+
+        With ``return_history`` and hires, returns ``(images, [base_hist,
+        hires_hist])`` — both passes' per-step latents, matching the
+        reference's preview list that spans the base loop and the hires
+        recursion (model_k_diffusion.py:782-783, 1221-1224).
         """
         sigmas, defaults = self._schedule(gen)
         if _is_seed_list(seed):
@@ -827,10 +836,13 @@ class StableDiffusionTPU:
         noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
         out = self._run(latents, context, region_biases, sigmas, gen, noise,
                         extras, decode=decode and hires is None,
-                        return_history=return_history and hires is None,
+                        return_history=return_history,
                         uint8_output=uint8_output and hires is None)
         if hires is None:
             return out
+        base_history = None
+        if return_history:
+            out, base_history = out
 
         # Hires fix: resize latents, recursive img2img at the target size.
         from ..ops.resize import resize_latents
@@ -858,12 +870,35 @@ class StableDiffusionTPU:
                 states, ids, height=gen_hr.height, width=gen_hr.width,
                 num_images_per_prompt=nipp,
             )
-        return self.img2img(
+        # ControlNet cond-images and T2I residuals are resolution-bound;
+        # the reference re-prepares them at the target size inside its
+        # hires recursion (model_k_diffusion.py:1206-1212). Callers pass
+        # hires["rebuild_extras"] = fn(gen_hr) -> DenoiseExtras to do the
+        # same here; IP tokens are resolution-free and pass through.
+        hr_extras = extras
+        if hires.get("rebuild_extras") is not None:
+            hr_extras = hires["rebuild_extras"](gen_hr)
+        elif extras is not None and (
+            extras.controlnet_images is not None
+            or extras.t2i_residuals is not None
+        ):
+            raise ValueError(
+                "hires with ControlNet/T2I units needs "
+                "hires['rebuild_extras'] (a fn(gen_hr) -> DenoiseExtras "
+                "re-preparing the unit images at the target resolution); "
+                "base-resolution extras cannot drive the hires pass"
+            )
+        hr_out = self.img2img(
             context, up, gen_hr,
             strength=float(hires.get("strength", 0.6)),
             seed=_next_seed(seed), region_biases=hr_biases,
-            decode=decode, extras=extras,
+            decode=decode, extras=hr_extras,
+            return_history=return_history,
         )
+        if return_history:
+            hr_out, hr_history = hr_out
+            return hr_out, [base_history, hr_history]
+        return hr_out
 
     def img2img(
         self,
@@ -875,6 +910,7 @@ class StableDiffusionTPU:
         region_biases=None,
         decode: bool = True,
         extras: Optional[DenoiseExtras] = None,
+        return_history: bool = False,
     ):
         """img2img: truncate the schedule by strength and noise the init
         latents (reference: model_k_diffusion.py:628-655).
@@ -902,7 +938,7 @@ class StableDiffusionTPU:
         noise = self._solver_noise(k_noise, sigma_sched, init_latents.shape,
                                    gen.sampler)
         return self._run(latents, context, region_biases, sigma_sched, gen,
-                         noise, extras, decode)
+                         noise, extras, decode, return_history=return_history)
 
     def inpaint(
         self,
@@ -915,6 +951,7 @@ class StableDiffusionTPU:
         region_biases=None,
         decode: bool = True,
         extras: Optional[DenoiseExtras] = None,
+        return_history: bool = False,
     ):
         """Inpainting (reference: model_k_diffusion.py:1365-1660).
 
@@ -934,7 +971,8 @@ class StableDiffusionTPU:
         latent_shape = (b, h // 8, w // 8, 4)
 
         image_latents = vae_encode(
-            self.params["vae"], self.model_cfg.vae, init_image, rng=k_enc
+            self.params["vae"], self.model_cfg.vae, init_image, rng=k_enc,
+            conv_impl=self.conv_impl,
         )
         mask_l = jax.image.resize(
             mask.astype(jnp.float32), (b, h // 8, w // 8), "nearest"
@@ -958,6 +996,7 @@ class StableDiffusionTPU:
             masked_latents = vae_encode(
                 self.params["vae"], self.model_cfg.vae,
                 jnp.asarray(masked_image), rng=k_enc,
+                conv_impl=self.conv_impl,
             )
             extra_ch = jnp.concatenate([mask_l, masked_latents], axis=-1)
             if do_cfg:
@@ -985,7 +1024,11 @@ class StableDiffusionTPU:
                                    gen.sampler)
         asym = self.model_cfg.vae.asymmetric
         out = self._run(latents, context, region_biases, sigma_sched, gen,
-                        noise, extras, decode and not asym)
+                        noise, extras, decode and not asym,
+                        return_history=return_history)
+        history = None
+        if return_history:
+            out, history = out
         if decode and asym:
             # mask-conditioned decode: the decoder reconstructs the known
             # pixels from the masked init image at every scale (reference:
@@ -997,9 +1040,9 @@ class StableDiffusionTPU:
                 self.params["vae"], self.model_cfg.vae, out,
                 cond_image=init_image * (1.0 - mask_full),
                 cond_mask=mask_full,
-                conv_impl=(self.conv_impl or self.attn_impl),
+                conv_impl=self.conv_impl,
             )
-        return out
+        return (out, history) if return_history else out
 
     # -- codecs -------------------------------------------------------------
 
@@ -1008,11 +1051,12 @@ class StableDiffusionTPU:
         return vae_encode(
             self.params["vae"], self.model_cfg.vae, images,
             rng=jax.random.PRNGKey(seed),
+            conv_impl=self.conv_impl,
         )
 
     def decode_latents(self, latents: jnp.ndarray):
         return vae_decode(self.params["vae"], self.model_cfg.vae, latents,
-                          conv_impl=(self.conv_impl or self.attn_impl))
+                          conv_impl=self.conv_impl)
 
     @staticmethod
     def to_uint8(images: jnp.ndarray) -> np.ndarray:

@@ -180,6 +180,94 @@ def test_hires_with_region_reencode(pipe):
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_hires_with_controlnet_rebuilds_extras(pipe, cn_params):
+    """Hires + ControlNet: extras are re-prepared at the target resolution
+    via hires['rebuild_extras'] (reference re-prepares cond images inside
+    its hires recursion, model_k_diffusion.py:1206-1212)."""
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    raw = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+
+    def rebuild(gen_for):
+        img = jax.image.resize(
+            jnp.asarray(raw), (gen_for.height, gen_for.width, 3), "bilinear"
+        )[None]
+        return pipe.build_controlnet_extras(
+            gen_for, [cn_params], [img], scales=[1.0]
+        )
+
+    out = pipe.txt2img(
+        ctx, GEN, seed=0, extras=rebuild(GEN),
+        hires={"scale": 2.0, "strength": 0.5, "rebuild_extras": rebuild},
+    )
+    assert out.shape == (1, 128, 128, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_hires_with_base_res_unit_extras_raises(pipe, cn_params):
+    """Base-resolution ControlNet extras cannot drive the hires pass; the
+    pipeline must reject them instead of tracing into a shape mismatch."""
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    extras = pipe.build_controlnet_extras(GEN, [cn_params], [img],
+                                          scales=[1.0])
+    with pytest.raises(ValueError, match="rebuild_extras"):
+        pipe.txt2img(ctx, GEN, seed=0, extras=extras,
+                     hires={"scale": 2.0, "strength": 0.5})
+
+
+def test_hires_with_t2i_rebuilds_extras(pipe):
+    cfg = T2IAdapterConfig(channels=(32, 64, 128, 128))
+    ad = t2i_adapter_init(jax.random.PRNGKey(3), cfg, jnp.float32)
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    raw = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+
+    def rebuild(gen_for):
+        img = jax.image.resize(
+            jnp.asarray(raw), (gen_for.height, gen_for.width, 3), "bilinear"
+        )[None]
+        return pipe.build_t2i_extras(gen_for, [ad], [img], scales=[0.8],
+                                     conditioning_factor=0.5)
+
+    out = pipe.txt2img(
+        ctx, GEN, seed=0, extras=rebuild(GEN),
+        hires={"scale": 2.0, "strength": 0.5, "rebuild_extras": rebuild},
+    )
+    assert out.shape == (1, 128, 128, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    base = pipe.txt2img(ctx, GEN, seed=0,
+                        hires={"scale": 2.0, "strength": 0.5})
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_hires_preview_covers_both_passes(pipe):
+    """return_history through hires returns both passes' per-step latents
+    (reference spans base + hires decodes, model_k_diffusion.py:1221-1224)."""
+    out, hists = pipe.txt2img(
+        ctx := pipe.encode_prompt(["a cat"], [""])[0], GEN, seed=0,
+        hires={"scale": 2.0, "strength": 0.5}, return_history=True,
+    )
+    assert out.shape == (1, 128, 128, 3)
+    assert isinstance(hists, list) and len(hists) == 2
+    base_hist, hr_hist = hists
+    assert base_hist.shape[-3:-1] == (8, 8)
+    assert hr_hist.shape[-3:-1] == (16, 16)
+    assert base_hist.shape[0] > 0 and hr_hist.shape[0] > 0
+
+
+def test_img2img_and_inpaint_history(pipe):
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    init = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    out, hist = pipe.img2img(ctx, init, GEN, strength=0.5, seed=1,
+                             decode=False, return_history=True)
+    assert hist.shape[1:] == out.shape
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = jnp.asarray(np.ones((1, 64, 64), np.float32))
+    out2, hist2 = pipe.inpaint(ctx, img, mask, GEN, seed=1, decode=False,
+                               return_history=True)
+    assert hist2.shape[1:] == out2.shape
+
+
 def test_hires_with_seed_list(pipe):
     """Per-sample seed lists survive the hires recursion (the hires pass
     derives seed+1 per sample) and stay batch-composition invariant."""
