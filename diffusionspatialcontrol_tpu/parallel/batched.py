@@ -8,7 +8,8 @@ derives only from its own seed (samplers/brownian.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import dataclasses
+from typing import Optional, Sequence, Union
 
 import jax
 import numpy as np
@@ -17,25 +18,70 @@ from ..config import GenerationConfig
 from .mesh import data_parallel_mesh, replicate, shard_batch
 
 
+def _shard_extras(mesh, extras):
+    """Shard a DenoiseExtras' batched arrays over the mesh's data axis and
+    replicate the (unbatched) ControlNet weight trees."""
+    def sb(x):
+        return None if x is None else shard_batch(mesh, x)
+
+    return dataclasses.replace(
+        extras,
+        controlnet_params=(
+            None if extras.controlnet_params is None
+            else [replicate(mesh, p) for p in extras.controlnet_params]
+        ),
+        controlnet_images=(
+            None if extras.controlnet_images is None
+            else [sb(i) for i in extras.controlnet_images]
+        ),
+        t2i_residuals=(
+            None if extras.t2i_residuals is None
+            else tuple(sb(f) for f in extras.t2i_residuals)
+        ),
+        ip_tokens=(
+            None if extras.ip_tokens is None
+            else tuple(sb(t) for t in extras.ip_tokens)
+        ),
+        ip_masks=(
+            None if extras.ip_masks is None
+            else tuple(sb(m) for m in extras.ip_masks)
+        ),
+    )
+
+
 def generate_grid(
     pipe,
     prompts: Sequence[str],
     seeds: Sequence[int],
     gen: GenerationConfig,
-    negative_prompt: str = "",
+    negative_prompt: Union[str, Sequence[str]] = "",
     region_states: Optional[Sequence[Optional[dict]]] = None,
     mesh=None,
     decode: bool = True,
     encoding_mode: str = "short",
+    extras=None,
 ):
     """Generate len(prompts) * len(seeds) images: prompt-major order.
 
     Each prompt is encoded once and tiled across its seeds; the flattened
     batch (with its CFG pair inside the program) is sharded over the mesh's
-    "data" axis. Returns (P*M, H, W, 3) images (or latents)."""
+    "data" axis. ``negative_prompt`` may be a per-prompt list.
+    ``extras`` (DenoiseExtras) must already be batched to the full
+    prompts x seeds fan-out CFG-doubled (api.inference builds it with
+    unit_fan = P*M); its arrays are sharded alongside the contexts.
+    Returns (P*M, H, W, 3) images (or latents)."""
     n_p, n_s = len(prompts), len(seeds)
+    negs = (
+        list(negative_prompt)
+        if isinstance(negative_prompt, (list, tuple))
+        else [negative_prompt] * n_p
+    )
+    if len(negs) != n_p:
+        raise ValueError(
+            f"{len(negs)} negative prompts for {n_p} prompts"
+        )
     context, ids = pipe.encode_prompt(
-        list(prompts), [negative_prompt] * n_p, clip_skip=gen.clip_skip,
+        list(prompts), negs, clip_skip=gen.clip_skip,
         mode=encoding_mode, num_images_per_prompt=n_s,
     )
     region_biases = None
@@ -61,8 +107,10 @@ def generate_grid(
             region_biases = tuple(
                 shard_batch(mesh, b) for b in region_biases
             )
+        if extras is not None:
+            extras = _shard_extras(mesh, extras)
 
     return pipe.txt2img(
         context, gen, seed=all_seeds, region_biases=region_biases,
-        decode=decode,
+        decode=decode, extras=extras,
     )

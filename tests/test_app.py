@@ -447,6 +447,62 @@ def test_http_server_units_and_preprocess(manager):
         server.shutdown()
 
 
+def test_inference_grid_with_controlnet(manager):
+    """Grid mode with a ControlNet unit + per-prompt negative prompts
+    (round-3): 2 prompts x 2 seeds in one sharded program, prompt-major
+    order, per-seed invariance vs the single-prompt run."""
+    cond = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    kwargs = dict(
+        model="tiny", sampler="Euler", steps=3, width=64, height=64,
+        encoding_mode="short", dtype=jnp.float32,
+        controlnet_units=[
+            ControlNetUnit(model="Canny", image=cond, scale=0.7)
+        ],
+    )
+    result = inference(
+        manager, prompt=["a red cat", "a blue dog"],
+        neg_prompt=["bad quality", "worst quality"], seed=[5, 6], **kwargs
+    )
+    assert result["images"].shape == (4, 64, 64, 3)
+    solo = inference(
+        manager, prompt="a blue dog", neg_prompt="worst quality",
+        seed=[6], **kwargs
+    )
+    # prompt-major row 3 = prompt 1, seed 6; identical up to cross-program
+    # fp noise (batch-4 vs batch-1 fusions differ)
+    diff = np.abs(result["images"][3].astype(np.int32)
+                  - solo["images"][0].astype(np.int32))
+    assert diff.max() <= 10 and diff.mean() < 2.0
+
+
+def test_inference_hires_with_controlnet(manager):
+    """Hires + ControlNet through inference(): extras are rebuilt at the
+    hires resolution (reference model_k_diffusion.py:1206-1212)."""
+    cond = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    result = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=2,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        controlnet_units=[ControlNetUnit(model="Canny", image=cond)],
+        hires_scale=2.0, hires_strength=0.5,
+    )
+    assert result["images"].shape == (1, 128, 128, 3)
+
+
+def test_inference_preview_through_hires(manager):
+    """Latent previews span the base AND hires passes (reference appends
+    hires per-step decodes, model_k_diffusion.py:1221-1224)."""
+    result = inference(
+        manager, prompt="a cat", model="tiny", sampler="Euler", steps=3,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        hires_scale=2.0, hires_strength=0.5, latent_preview=True,
+    )
+    assert result["images"].shape == (1, 128, 128, 3)
+    # 3 base steps + int(3*0.5)=1 hires step
+    assert len(result["previews"]) == 4
+    assert result["previews"][0].shape[1:3] == (64, 64)
+    assert result["previews"][-1].shape[1:3] == (128, 128)
+
+
 def test_inference_units_with_num_images_per_prompt(manager):
     """One conditioning image / reference image serves a multi-image
     fan-out (reference repeats embeds per image,
@@ -509,3 +565,164 @@ def test_inference_with_lora_and_ti(manager, tmp_path):
     # base model untouched by the merge
     base2 = inference(manager, prompt="a mytoken cat", **kwargs)
     np.testing.assert_array_equal(base["images"], base2["images"])
+
+
+def test_arcface_matches_torch_replica():
+    """ArcFace iResNet (tiny config, full structure) vs a torch replica
+    with the exact arcface_torch ``backbone.pth`` module layout
+    (conv1/bn1/prelu/layer1..4/bn2/fc/features), incl. pre-activation
+    blocks, PReLU, BN running stats folded to affines, and the
+    NCHW-vs-NHWC fc flatten permutation."""
+    import torch
+    import torch.nn as nn
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import arcface as AF
+
+    cfg = AF.ARCFACE_TINY
+
+    class IBasicBlock(nn.Module):
+        def __init__(self, inp, planes, stride):
+            super().__init__()
+            self.bn1 = nn.BatchNorm2d(inp)
+            self.conv1 = nn.Conv2d(inp, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.prelu = nn.PReLU(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes)
+            self.downsample = None
+            if stride != 1 or inp != planes:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(inp, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes))
+
+        def forward(self, x):
+            identity = x
+            out = self.bn3(self.conv2(self.prelu(self.bn2(
+                self.conv1(self.bn1(x))))))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return out + identity
+
+    class IResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, cfg.stem_channels, 3, 1, 1,
+                                   bias=False)
+            self.bn1 = nn.BatchNorm2d(cfg.stem_channels)
+            self.prelu = nn.PReLU(cfg.stem_channels)
+            inp = cfg.stem_channels
+            for li, (w, reps) in enumerate(
+                    zip(cfg.widths, cfg.layers), 1):
+                blocks = []
+                for i in range(reps):
+                    blocks.append(IBasicBlock(inp, w, 2 if i == 0 else 1))
+                    inp = w
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+            self.bn2 = nn.BatchNorm2d(inp)
+            s = cfg.final_spatial
+            self.fc = nn.Linear(inp * s * s, cfg.embed_dim)
+            self.features = nn.BatchNorm1d(cfg.embed_dim)
+
+        def forward(self, x):
+            x = self.prelu(self.bn1(self.conv1(x)))
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+            x = self.bn2(x)
+            return self.features(self.fc(torch.flatten(x, 1)))
+
+    torch.manual_seed(0)
+    model = IResNet().eval()
+    gen = np.random.RandomState(9)
+    for m in model.modules():
+        if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+            n = m.running_mean.shape[0]
+            m.running_mean.data = torch.from_numpy(
+                gen.randn(n).astype(np.float32) * 0.2)
+            m.running_var.data = torch.from_numpy(
+                gen.rand(n).astype(np.float32) + 0.5)
+
+    sd = hf.StateDict({k: v.numpy() for k, v in model.state_dict().items()})
+    params = AF.convert_arcface(sd, cfg)
+
+    x = np.random.RandomState(1).uniform(
+        -1, 1, (2, cfg.input_size, cfg.input_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(AF.arcface_apply(params, cfg, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, cfg.embed_dim)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_faceid_with_arcface_embedder(manager):
+    """FaceID e2e with the real recognition architecture (random weights):
+    the manager-registered ArcFace network replaces the stub embedder and
+    satisfies the 512-d normed_embedding contract (ops/face_embed.py)."""
+    from diffusionspatialcontrol_tpu.app.api import IPAdapterUnit
+    from diffusionspatialcontrol_tpu.models.arcface import ArcFaceConfig
+
+    cfg512 = ArcFaceConfig(layers=(1, 1, 1, 1), widths=(8, 12, 16, 24),
+                           stem_channels=8, embed_dim=512, input_size=32)
+    manager.register_face_embedder(cfg=cfg512)
+    try:
+        embed = manager.get_face_embedder()
+        img = (np.random.RandomState(5).rand(48, 48, 3) * 255).astype(
+            np.uint8)
+        e1, e2 = embed(img), embed(img)
+        assert e1.shape == (512,) and e1.dtype == np.float32
+        np.testing.assert_allclose(np.linalg.norm(e1), 1.0, rtol=1e-5)
+        np.testing.assert_array_equal(e1, e2)  # deterministic
+        assert not np.allclose(e1, embed(255 - img))
+
+        r = inference(
+            manager, prompt="a cat", model="tiny", sampler="Euler",
+            steps=2, width=64, height=64, encoding_mode="short",
+            dtype=jnp.float32,
+            ip_adapter_units=[IPAdapterUnit(model="IP-Adapter FaceID",
+                                            image=img, scale=0.5)],
+        )
+        assert r["images"].shape == (1, 64, 64, 3)
+    finally:
+        manager._face_spec = None
+        manager._adapters.pop("face_embedder", None)
+
+
+def test_http_server_img2img_inpaint_and_preview(manager):
+    """Server passthrough for init_image / inpaint_mask / latent_preview
+    (round-3): img2img and inpaint generate over HTTP, previews return as
+    per-step galleries."""
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    server = serve(manager, port=0, block=False)
+    try:
+        port = server.server_address[1]
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+
+        base = {
+            "prompt": "a cat", "model": "tiny", "sampler": "Euler",
+            "steps": 2, "width": 64, "height": 64,
+            "encoding_mode": "short",
+        }
+        init = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(
+            int).tolist()
+        out = post({**base, "init_image": init, "strength": 0.5})
+        assert len(out["images"]) == 1
+
+        mask = [[1.0 if x < 32 else 0.0 for x in range(64)]
+                for _ in range(64)]
+        out = post({**base, "init_image": init, "inpaint_mask": mask})
+        assert len(out["images"]) == 1
+
+        out = post({**base, "latent_preview": True})
+        assert len(out["previews"]) == 2  # one gallery per step
+        assert len(out["previews"][0]) == 1
+    finally:
+        server.shutdown()
