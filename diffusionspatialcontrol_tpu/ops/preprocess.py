@@ -276,8 +276,11 @@ def make_normal_map_preprocessor(params, cfg) -> Callable:
                            np.float32)
         depth = np.asarray(jax.image.resize(jnp.asarray(depth), (h, w),
                                             "bilinear"))
-        depth = depth - depth.min()
-        depth = depth / max(depth.max(), 1e-8)
+        # v1 annotator convention: Sobel runs on the RAW network depth
+        # (gradient magnitudes are what z = a is calibrated against); the
+        # min-max-normalized copy feeds ONLY the bg_th background mask.
+        depth_norm = depth - depth.min()
+        depth_norm = depth_norm / max(depth_norm.max(), 1e-8)
 
         try:
             import cv2
@@ -288,13 +291,27 @@ def make_normal_map_preprocessor(params, cfg) -> Callable:
             gy_, gx_ = np.gradient(depth)
             gx, gy = gx_ * 8.0, gy_ * 8.0  # ~Sobel scale
         gz = np.ones_like(gx) * a
-        bg = depth < bg_th
+        bg = depth_norm < bg_th
         gx[bg] = 0.0
         gy[bg] = 0.0
         normal = np.stack([gx, gy, gz], axis=2)
         normal /= np.sqrt((normal**2).sum(axis=2, keepdims=True))
         out = (normal * 0.5 + 0.5).clip(0.0, 1.0)
         return out[:, :, ::-1].copy()  # BGR order, as the v1 annotator
+
+    return run
+
+
+def make_normalbae_preprocessor(params, cfg=None,
+                                detect_res: int = 512) -> Callable:
+    """NNET surface-normal detector closure (models/normalbae.py; reference
+    app.py:739 NormalBaeDetector with the scannet.pt checkpoint)."""
+    from ..models.normalbae import NormalBaeConfig, detect_normalbae
+
+    cfg = cfg or NormalBaeConfig()
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_normalbae(params, img, cfg, detect_res=detect_res)
 
     return run
 

@@ -884,3 +884,272 @@ def test_zoedepth_detector_end_to_end_random_weights():
     out = Z.detect_zoedepth(params, img, Z.ZOE_TINY, target=(64, 96))
     assert out.shape == (50, 70, 3)
     assert np.all((out >= 0) & (out <= 1))
+
+
+# ---------------------------------------------------------------------------
+# NormalBae (NNET)
+# ---------------------------------------------------------------------------
+
+
+def test_normalbae_matches_torch_replica():
+    """NNET (tiny config, full structure) vs a torch replica with the exact
+    scannet.pt module layout (timm tf_efficientnet naming under
+    encoder.original_model + decoder.*), including TF-SAME padding, folded
+    BatchNorm stats, SE blocks, align_corners fusion upsampling, and the
+    UPSTREAM ragged refinement (grid_sample at sampled points + scatter) —
+    proving the dense-MLP + top-k-mask redesign is pointwise equivalent."""
+    import math
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import normalbae as NB
+
+    cfg = NB.NNET_TINY
+
+    class Conv2dSame(nn.Conv2d):
+        def forward(self, x):
+            ih, iw = x.shape[-2:]
+            kh, kw = self.weight.shape[-2:]
+            sh, sw = self.stride
+            ph = max((math.ceil(ih / sh) - 1) * sh + kh - ih, 0)
+            pw = max((math.ceil(iw / sw) - 1) * sw + kw - iw, 0)
+            x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+            return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                            self.dilation, self.groups)
+
+    class SE(nn.Module):
+        def __init__(self, chs, rd):
+            super().__init__()
+            self.conv_reduce = nn.Conv2d(chs, rd, 1)
+            self.conv_expand = nn.Conv2d(rd, chs, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = F.silu(self.conv_reduce(s))
+            return x * torch.sigmoid(self.conv_expand(s))
+
+    class DsConv(nn.Module):  # timm DepthwiseSeparableConv (stage 0)
+        def __init__(self, in_c, out_c, k, stride):
+            super().__init__()
+            self.conv_dw = Conv2dSame(in_c, in_c, k, stride, groups=in_c,
+                                      bias=False)
+            self.bn1 = nn.BatchNorm2d(in_c, eps=1e-3)
+            self.se = SE(in_c, max(1, int(in_c * 0.25)))
+            self.conv_pw = Conv2dSame(in_c, out_c, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out_c, eps=1e-3)
+            self.skip = stride == 1 and in_c == out_c
+
+        def forward(self, x):
+            h = F.silu(self.bn1(self.conv_dw(x)))
+            h = self.se(h)
+            h = self.bn2(self.conv_pw(h))
+            return h + x if self.skip else h
+
+    class IR(nn.Module):  # timm InvertedResidual
+        def __init__(self, in_c, out_c, e, k, stride):
+            super().__init__()
+            mid = in_c * e
+            self.conv_pw = Conv2dSame(in_c, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+            self.conv_dw = Conv2dSame(mid, mid, k, stride, groups=mid,
+                                      bias=False)
+            self.bn2 = nn.BatchNorm2d(mid, eps=1e-3)
+            self.se = SE(mid, max(1, int(in_c * 0.25)))
+            self.conv_pwl = Conv2dSame(mid, out_c, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(out_c, eps=1e-3)
+            self.skip = stride == 1 and in_c == out_c
+
+        def forward(self, x):
+            h = F.silu(self.bn1(self.conv_pw(x)))
+            h = F.silu(self.bn2(self.conv_dw(h)))
+            h = self.se(h)
+            h = self.bn3(self.conv_pwl(h))
+            return h + x if self.skip else h
+
+    class EffNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_stem = Conv2dSame(3, cfg.stem_channels, 3, 2,
+                                        bias=False)
+            self.bn1 = nn.BatchNorm2d(cfg.stem_channels, eps=1e-3)
+            stages = []
+            in_c = cfg.stem_channels
+            for e, k, s, out_c, r in cfg.stages:
+                blocks = []
+                for i in range(r):
+                    st = s if i == 0 else 1
+                    blocks.append(
+                        DsConv(in_c, out_c, k, st) if e == 1
+                        else IR(in_c, out_c, e, k, st))
+                    in_c = out_c
+                stages.append(nn.Sequential(*blocks))
+            self.blocks = nn.Sequential(*stages)
+            self.conv_head = Conv2dSame(in_c, cfg.head_channels, 1,
+                                        bias=False)
+
+        def forward(self, x):
+            x = F.silu(self.bn1(self.conv_stem(x)))
+            taps = []
+            for i, stage in enumerate(self.blocks):
+                x = stage(x)
+                taps.append(x)
+            return [taps[i] for i in cfg.tap_stages] + [self.conv_head(x)]
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.original_model = EffNet()
+
+        def forward(self, x):
+            return self.original_model(x)
+
+    class UpSampleBN(nn.Module):
+        def __init__(self, skip_input, out_f):
+            super().__init__()
+            self._net = nn.Sequential(
+                nn.Conv2d(skip_input, out_f, 3, 1, 1),
+                nn.BatchNorm2d(out_f), nn.LeakyReLU(),
+                nn.Conv2d(out_f, out_f, 3, 1, 1),
+                nn.BatchNorm2d(out_f), nn.LeakyReLU())
+
+        def forward(self, x, skip):
+            up = F.interpolate(x, size=skip.shape[2:], mode="bilinear",
+                               align_corners=True)
+            return self._net(torch.cat([up, skip], dim=1))
+
+    def norm_normalize_t(x):  # channels on dim 1
+        n, kappa = x[:, :3], x[:, 3:]
+        mag = torch.sqrt((n ** 2).sum(1, keepdim=True)) + 1e-10
+        return torch.cat([n / mag, F.elu(kappa) + 1.0 + 0.01], dim=1)
+
+    class Decoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            taps = [cfg.stages[i][3] for i in cfg.tap_stages]
+            f1, f2, f3, f4 = cfg.decoder_features
+            h = cfg.mlp_hidden
+            self.conv2 = nn.Conv2d(cfg.head_channels, cfg.head_channels, 1)
+            self.up1 = UpSampleBN(cfg.head_channels + taps[3], f1)
+            self.up2 = UpSampleBN(f1 + taps[2], f2)
+            self.up3 = UpSampleBN(f2 + taps[1], f3)
+            self.up4 = UpSampleBN(f3 + taps[0], f4)
+            self.out_conv_res8 = nn.Conv2d(f2, 4, 3, 1, 1)
+
+            def mlp(width):
+                return nn.Sequential(
+                    nn.Conv1d(width + 4, h, 1), nn.ReLU(),
+                    nn.Conv1d(h, h, 1), nn.ReLU(),
+                    nn.Conv1d(h, h, 1), nn.ReLU(),
+                    nn.Conv1d(h, 4, 1))
+
+            self.out_conv_res4 = mlp(f2)
+            self.out_conv_res2 = mlp(f3)
+            self.out_conv_res1 = mlp(f4)
+
+        def refine(self, mlp, feat_src, out_prev, ratio, beta):
+            """Upstream test-mode branch: top-int(beta*N)-uncertainty
+            points, grid_sample of the SOURCE maps at target-grid coords,
+            pointwise MLP, scatter into the upsampled prediction."""
+            init = F.interpolate(out_prev, scale_factor=2, mode="bilinear",
+                                 align_corners=True)
+            B, _, H, W = init.shape
+            n = int(ratio * H * W)
+            n_imp = int(beta * n)
+            unc = (-init[:, 3]).reshape(B, -1)
+            idx = torch.sort(unc, dim=1, descending=True)[1][:, :n_imp]
+            rows, cols = idx // W, idx % W
+            rf = rows.float() / (H - 1) * 2 - 1
+            cf = cols.float() / (W - 1) * 2 - 1
+            coords = torch.stack([cf, rf], dim=-1).unsqueeze(1)
+            feat = F.grid_sample(feat_src, coords, mode="bilinear",
+                                 align_corners=True)
+            ip = F.grid_sample(out_prev, coords, mode="bilinear",
+                               align_corners=True)
+            inp = torch.cat([feat, ip], dim=1)[:, :, 0, :]
+            pred = norm_normalize_t(mlp(inp))
+            out = init.clone()
+            for i in range(B):
+                out[i, :, rows[i], cols[i]] = pred[i]
+            return out
+
+        def forward(self, feats, ratio, beta):
+            t2, t4, t8, t16, head = feats
+            x_d0 = self.conv2(head)
+            x_d1 = self.up1(x_d0, t16)
+            x_d2 = self.up2(x_d1, t8)
+            x_d3 = self.up3(x_d2, t4)
+            x_d4 = self.up4(x_d3, t2)
+            out8 = norm_normalize_t(self.out_conv_res8(x_d2))
+            out4 = self.refine(self.out_conv_res4, x_d2, out8, ratio, beta)
+            out2 = self.refine(self.out_conv_res2, x_d3, out4, ratio, beta)
+            out1 = self.refine(self.out_conv_res1, x_d4, out2, ratio, beta)
+            return out1
+
+    class NNET(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder()
+            self.decoder = Decoder()
+
+        def forward(self, x, ratio, beta):
+            return self.decoder(self.encoder(x), ratio, beta)
+
+    torch.manual_seed(0)
+    model = NNET().eval()
+    gen = np.random.RandomState(7)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            n = m.running_mean.shape[0]
+            m.running_mean.data = torch.from_numpy(
+                gen.randn(n).astype(np.float32) * 0.2)
+            m.running_var.data = torch.from_numpy(
+                gen.rand(n).astype(np.float32) + 0.5)
+
+    sd = hf.StateDict({k: v.numpy() for k, v in model.state_dict().items()})
+    params = NB.convert_nnet(sd, cfg)
+
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # (a) every pixel refined (ratio=1, beta=1): fully deterministic, the
+    # strongest numeric check of the whole conv/MLP stack
+    import dataclasses as _dc
+
+    cfg_full = _dc.replace(cfg, sampling_ratio=1.0, importance_ratio=1.0)
+    with torch.no_grad():
+        want = model(xt, 1.0, 1.0).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(NB.nnet_apply(params, cfg_full, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 64, 64, 4)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # (b) partial top-k selection (beta=1 -> no random coverage): the
+    # dense + mask redesign must equal upstream's sort + scatter
+    cfg_topk = _dc.replace(cfg, sampling_ratio=0.4, importance_ratio=1.0)
+    with torch.no_grad():
+        want = model(xt, 0.4, 1.0).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(NB.nnet_apply(params, cfg_topk, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_normalbae_detector_and_manager():
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+    from diffusionspatialcontrol_tpu.models import normalbae as NB
+
+    params = NB.nnet_init(jax.random.PRNGKey(0), NB.NNET_TINY)
+    img = (np.random.RandomState(2).rand(50, 70, 3) * 255).astype(np.uint8)
+    out = NB.detect_normalbae(params, img, NB.NNET_TINY, detect_res=64)
+    assert out.shape == (50, 70, 3)
+    assert np.all((out >= 0) & (out <= 1))
+
+    # manager routing: an NNET config registered for "Normal Map" builds
+    # the NNET path; default stays the depth-gradient fallback
+    mgr = ModelManager()
+    mgr.register_preprocessor("Normal Map", cfg=NB.NNET_TINY,
+                              detect_resolution=64)
+    fn = mgr.get_preprocessor("Normal Map")
+    out = fn(img)
+    assert out.shape == (50, 70, 3)
+    assert np.all((out >= 0) & (out <= 1))
