@@ -295,23 +295,38 @@ def decode_lines(tpmap: np.ndarray, score_thr: float = 0.10,
 
 
 def detect_mlsd(params, image: np.ndarray, thr_v: float = 0.1,
-                thr_d: float = 0.1) -> np.ndarray:
+                thr_d: float = 0.1, detect_res: int = 512) -> np.ndarray:
     """Full detector (controlnet_aux MLSDdetector contract): RGB image ->
     (H, W, 3) float [0, 1] white-line-on-black map. ``thr_v``/``thr_d`` are
-    the score and length thresholds (detector defaults 0.1/0.1)."""
+    the score and length thresholds (detector defaults 0.1/0.1).
+
+    Matches upstream pred_lines preprocessing: the image is resized to the
+    ``detect_res`` square the score/dist thresholds are calibrated for, the
+    ones plane is concatenated BEFORE the /127.5-1 normalization (so the
+    checkpoint's 4th input plane is 1/127.5-1, what it was trained with),
+    and decoded segments are rescaled to the original (h, w)."""
     img = np.asarray(image)
     if img.dtype != np.uint8 and img.max() <= 1.0:
         img = img * 255.0
     img = img.astype(np.float32)
     h, w = img.shape[:2]
-    ph, pw = (-h) % 16, (-w) % 16
-    padded = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    ones = np.ones(padded.shape[:2] + (1,), np.float32)
-    batch = np.concatenate([padded / 127.5 - 1.0, ones], -1)[None]
+    try:
+        import cv2
+
+        net_in = cv2.resize(img, (detect_res, detect_res),
+                            interpolation=cv2.INTER_AREA)
+    except ImportError:  # pragma: no cover - cv2 is in the image
+        net_in = np.asarray(jax.image.resize(
+            jnp.asarray(img), (detect_res, detect_res, img.shape[-1]),
+            "bilinear"))
+    ones = np.ones(net_in.shape[:2] + (1,), np.float32)
+    batch = (np.concatenate([net_in, ones], -1)[None] / 127.5) - 1.0
     tpmap = np.asarray(jax.jit(mlsd_apply)(params, jnp.asarray(batch))[0],
                        np.float32)
     segs = decode_lines(tpmap, score_thr=thr_v, dist_thr=thr_d)
-    segs = segs * 2.0  # tpMap is at half input resolution
+    segs = segs * 2.0  # tpMap is at half network resolution
+    # back to original pixel coordinates (upstream w_ratio / h_ratio)
+    segs = segs * np.array([w / detect_res, h / detect_res] * 2, np.float32)
     canvas = np.zeros((h, w), np.float32)
     try:
         import cv2
