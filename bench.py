@@ -32,10 +32,13 @@ REFERENCE_CONTROLLED_S = 5.0  # README.md:65, 1x T4
 REFERENCE_VANILLA_S = 4.6
 
 ATTN_IMPL = "pallas"  # fused Pallas kernels: ~13% faster than XLA attention
-# Resnet conv path: "pallas" = fused GN+SiLU+conv kernel (default), "xla" =
-# the lax.conv chain (round-1 program, useful when the remote compile
-# service rejects the larger kernel set). Override: BENCH_CONV_IMPL env.
-CONV_IMPL = __import__("os").environ.get("BENCH_CONV_IMPL", "pallas")
+# Resnet conv path: "xla" (default) = the lax.conv chain; "pallas" = the
+# fused GN+SiLU+conv kernel. The round-3 A/B settled this: XLA wins at the
+# hot shape (level0 64x64x320 pair: 276 ms vs 443 ms for 20 iters) and the
+# round-2 pallas-default bench regressed 15% (BENCH_r02 0.831 s vs r1's
+# 0.720 s) — XLA's conv+fusion pipeline beats the hand-written kernel here.
+# Override: BENCH_CONV_IMPL env. See PERF.md "Round 3".
+CONV_IMPL = __import__("os").environ.get("BENCH_CONV_IMPL", "xla")
 
 
 def timed_runs(fn, n=5):

@@ -481,11 +481,13 @@ def unet_apply(
     probability sums for DAAM-style introspection.
 
     ``conv_impl`` selects the resnet conv path ("pallas" = fused
-    GN+SiLU+conv kernel, "xla" = lax.conv chain); defaults to ``attn_impl``
-    so the pipeline's single kernel switch covers both."""
+    GN+SiLU+conv kernel, "xla" = lax.conv chain). Default "xla": the
+    round-3 A/B showed XLA's conv pipeline beats the fused kernel at the
+    hot shapes (PERF.md "Round 3"); pallas attention remains the winner
+    and is selected independently via ``attn_impl``."""
     heatmaps: Optional[list] = [] if collect_heatmaps else None
     groups, eps_ = cfg.norm_num_groups, cfg.norm_eps
-    conv_impl = attn_impl if conv_impl is None else conv_impl
+    conv_impl = "xla" if conv_impl is None else conv_impl
 
     temb = timestep_embedding(
         timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
