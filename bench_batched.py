@@ -34,6 +34,19 @@ def main():
 
     results = {}
 
+    # serving sweet spot: batched 512x512 (PERF.md secondary config)
+    gen512 = GenerationConfig(height=512, width=512, num_inference_steps=25)
+    ctx512, _ = pipe.encode_prompt(
+        ["a red cat on a bench"] * 4,
+        ["bad quality, low quality, jpeg artifact, cropped"] * 4,
+        clip_skip=2,
+    )
+    t = timed(lambda s: pipe.txt2img(ctx512, gen512,
+                                     seed=[s, s + 1, s + 2, s + 3],
+                                     uint8_output=True))
+    results["batch4_512_sec_per_image"] = round(t / 4, 4)
+    results["batch4_512_images_per_min_chip"] = round(240.0 / t, 2)
+
     # config 4: batched 768x768, 4 images per program (8 prompts x 4 seeds
     # = 8 sequential programs of batch 4 on one chip)
     gen768 = GenerationConfig(height=768, width=768, num_inference_steps=25)
