@@ -697,11 +697,16 @@ def inference(
                 mode=encoding_mode,
                 num_images_per_prompt=num_images_per_prompt,
             )
+            if cfg_scale <= 1.0:
+                # no CFG pair: keep only the cond half (reference skips
+                # the uncond pass when guidance is off)
+                context = context[context.shape[0] // 2:]
             region_biases = None
             if region_state:
                 region_biases = pipe.encode_region(
                     [region_state], ids, height=height, width=width,
                     num_images_per_prompt=num_images_per_prompt,
+                    do_cfg=cfg_scale > 1.0,
                 )
         watchdog.check()
 
@@ -748,6 +753,7 @@ def inference(
             # per attention layer); built once, reused by the hires pass.
             ip_extras = pipe.build_ip_extras(
                 loaded_ip, embeds,
+                do_cfg=cfg_scale > 1.0,
                 scales=[u.scale for u in ip_adapter_units],
                 masks=(
                     [
@@ -778,6 +784,7 @@ def inference(
                 ]
                 ex = pipe.build_controlnet_extras(
                     gen_for, cn_params, imgs,
+                    do_cfg=cfg_scale > 1.0,
                     scales=[u.scale for u in controlnet_units],
                     starts=[u.guidance_start for u in controlnet_units],
                     ends=[u.guidance_end for u in controlnet_units],
@@ -796,6 +803,7 @@ def inference(
                 ]
                 ex = pipe.build_t2i_extras(
                     gen_for, t2i_params, imgs,
+                    do_cfg=cfg_scale > 1.0,
                     scales=[u.scale for u in t2i_units],
                     conditioning_factor=min(
                         u.conditioning_factor for u in t2i_units

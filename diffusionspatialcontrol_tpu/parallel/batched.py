@@ -84,11 +84,15 @@ def generate_grid(
         list(prompts), negs, clip_skip=gen.clip_skip,
         mode=encoding_mode, num_images_per_prompt=n_s,
     )
+    do_cfg = gen.guidance_scale > 1.0
+    if not do_cfg:
+        # no CFG pair: cond half only (matches api.inference)
+        context = context[context.shape[0] // 2:]
     region_biases = None
     if region_states and any(region_states):
         region_biases = pipe.encode_region(
             list(region_states), ids, height=gen.height, width=gen.width,
-            num_images_per_prompt=n_s,
+            num_images_per_prompt=n_s, do_cfg=do_cfg,
         )
 
     all_seeds = [int(s) for p in range(n_p) for s in seeds]

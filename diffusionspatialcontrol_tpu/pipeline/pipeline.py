@@ -73,6 +73,20 @@ def controlnet_keep_schedule(steps: int, starts: Sequence[float],
 
 
 @dataclasses.dataclass
+class ChunkedPause:
+    """Mid-run checkpoint from :meth:`StableDiffusionTPU.sample_chunked`:
+    the solver state at a chunk boundary. Everything else about the run
+    (schedule, noise table, initial latents) is deterministic from the
+    call arguments, so resuming with the same arguments + this state is
+    bitwise identical to never having paused."""
+
+    x: jnp.ndarray  # current latents (sigma-space)
+    carry: Any  # solver multistep carry pytree (None before first chunk)
+    pos: int  # scan steps completed
+    n_total: int  # total scan steps of the schedule (consistency check)
+
+
+@dataclasses.dataclass
 class DenoiseExtras:
     """Optional per-generation conditioning consumed inside the denoise fn.
     All arrays are already CFG-doubled ([uncond..., cond...]) where needed."""
@@ -727,6 +741,7 @@ class StableDiffusionTPU:
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
         uint8_output: bool = False,
+        resume: Optional["ChunkedPause"] = None,
     ):
         """txt2img with host re-entry every ``chunk_steps`` solver steps.
 
@@ -741,6 +756,17 @@ class StableDiffusionTPU:
         single-scan path (tests/test_solvers.py). Costs: at most three
         compiled variants (first chunk, steady chunk, remainder) and a
         host sync per chunk.
+
+        Pause/resume (the reference keeps an unused ``self._interrupt``
+        flag, model_diffusers.py:237/:342 — never wired; here the scan
+        chunking makes mid-run checkpointing real): ``on_chunk`` may return
+        ``False`` to pause, in which case this method returns a
+        :class:`ChunkedPause` holding the solver state at the chunk
+        boundary. Passing it back via ``resume=`` (with the same seed/gen/
+        conditioning arguments) continues the run and produces output
+        bitwise identical to an uninterrupted one — the schedule, noise
+        table, and initial latents are all deterministic functions of the
+        arguments, so only ``(x, carry, pos)`` need to travel.
         """
         if gen.sampler not in solvers.CHUNKABLE:
             raise ValueError(
@@ -759,9 +785,17 @@ class StableDiffusionTPU:
 
         n_total = solvers.scan_length(gen.sampler, sigmas)
         opts = tuple(sorted(self._solver_opts(gen, defaults).items()))
-        carry = None
-        x = latents
-        pos = 0
+        if resume is not None:
+            if resume.n_total != n_total:
+                raise ValueError(
+                    "resume state was captured under a different schedule "
+                    f"({resume.n_total} scan steps vs {n_total})"
+                )
+            carry, x, pos = resume.carry, resume.x, int(resume.pos)
+        else:
+            carry = None
+            x = latents
+            pos = 0
         while pos < n_total:
             size = min(int(chunk_steps), n_total - pos)
             x, carry = _sample_chunk(
@@ -784,7 +818,9 @@ class StableDiffusionTPU:
             jax.block_until_ready(x)
             pos += size
             if on_chunk is not None:
-                on_chunk(pos, n_total)
+                if on_chunk(pos, n_total) is False and pos < n_total:
+                    return ChunkedPause(x=x, carry=carry, pos=pos,
+                                        n_total=n_total)
         if decode:
             x = self.decode_latents(x)
             if uint8_output:

@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Optional persistent compilation cache (opt-in via DSC_TEST_CACHE=path).
+# NOT enabled by default: on this image the cache *write* path segfaults
+# (jax compilation_cache.put_executable_and_time — reproduced twice on
+# different programs), which is worse than the rare cumulative-compile
+# crash it was meant to work around. Split long runs per test file instead.
+if os.environ.get("DSC_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["DSC_TEST_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from jax._src import xla_bridge as _xb  # noqa: E402
 
 if _xb.backends_are_initialized():  # pragma: no cover

@@ -726,3 +726,50 @@ def test_http_server_img2img_inpaint_and_preview(manager):
         assert len(out["previews"][0]) == 1
     finally:
         server.shutdown()
+
+
+def test_inference_without_cfg(manager):
+    """cfg_scale <= 1 disables the CFG pair: the context must collapse to
+    its cond half and unit extras / region biases must not be CFG-doubled
+    (the conditioning batch would mismatch the latent batch)."""
+    kwargs = dict(model="tiny", sampler="Euler", steps=2, width=64,
+                  height=64, cfg_scale=1.0, encoding_mode="short",
+                  dtype=jnp.float32)
+    r = inference(manager, prompt="a cat", **kwargs)
+    assert r["images"].shape == (1, 64, 64, 3)
+
+    cond = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    r = inference(
+        manager, prompt="a cat",
+        controlnet_units=[ControlNetUnit(model="Canny", image=cond)],
+        **kwargs,
+    )
+    assert r["images"].shape == (1, 64, 64, 3)
+
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    r = inference(
+        manager, prompt="a red cat",
+        region_state=region_ui.build_region_state(["red cat"], [mask]),
+        **kwargs,
+    )
+    assert r["images"].shape == (1, 64, 64, 3)
+
+
+def test_grid_without_cfg(manager):
+    """Grid mode (multi-prompt x seeds) with cfg_scale <= 1: the batched
+    path must collapse the context to its cond half like api.inference."""
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    r = inference(
+        manager,
+        prompt=["a red cat", "a blue dog"],
+        model="tiny", sampler="Euler", steps=2, width=64, height=64,
+        seed=[5, 6], cfg_scale=1.0, encoding_mode="short",
+        region_state=[
+            region_ui.build_region_state(["red cat"], [mask]),
+            None,
+        ],
+        dtype=jnp.float32,
+    )
+    assert r["images"].shape == (4, 64, 64, 3)

@@ -436,3 +436,50 @@ def test_chunked_pipeline_matches_and_cancels():
     with pytest.raises(TimeoutError):
         pipe.sample_chunked(ctx, GEN, seed=3, decode=False, chunk_steps=1,
                             on_chunk=abort)
+
+
+def test_chunked_pause_resume_bitwise_identical():
+    """on_chunk returning False pauses the run at a chunk boundary; feeding
+    the returned ChunkedPause back via resume= (same args) must reproduce
+    the uninterrupted result BITWISE — schedule, noise and initial latents
+    are deterministic from the arguments, only (x, carry, pos) travel."""
+    from tests.test_pipeline import GEN, TINY
+    from diffusionspatialcontrol_tpu.models import factory
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        ChunkedPause,
+        StableDiffusionTPU,
+    )
+    from diffusionspatialcontrol_tpu.text.tokenizer import HashTokenizer
+
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), TINY, jnp.float32
+    )
+    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+    ctx, _ = pipe.encode_prompt(["a cat"], [""])
+    single = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+
+    pause = pipe.sample_chunked(
+        ctx, GEN, seed=3, decode=False, chunk_steps=1,
+        on_chunk=lambda done, total: done < 2,  # False after step 2
+    )
+    assert isinstance(pause, ChunkedPause)
+    assert pause.pos == 2
+
+    resumed = pipe.sample_chunked(
+        ctx, GEN, seed=3, decode=False, chunk_steps=1, resume=pause,
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(resumed))
+
+    # a False on the FINAL chunk must not pause (the run is complete)
+    done_anyway = pipe.sample_chunked(
+        ctx, GEN, seed=3, decode=False, chunk_steps=4,
+        on_chunk=lambda done, total: False,
+    )
+    np.testing.assert_array_equal(np.asarray(single),
+                                  np.asarray(done_anyway))
+
+    # resuming under a different schedule is rejected
+    import dataclasses as _dc
+    with pytest.raises(ValueError):
+        pipe.sample_chunked(ctx, GEN, seed=3, decode=False,
+                            resume=_dc.replace(pause, n_total=99))
