@@ -9,6 +9,7 @@ Usage: python benchmarks/ab_conv_fused.py [level0|step]   (TPU; background).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -24,7 +25,7 @@ from diffusionspatialcontrol_tpu.models.layers import (
     conv2d, conv_init, group_norm, silu,
 )
 from diffusionspatialcontrol_tpu.ops.pallas.conv_fused import (
-    fold_group_norm, gn_silu_conv3x3,
+    fold_group_norm, gn_silu_conv3x3, gn_silu_conv3x3_v2,
 )
 
 ITERS = 20
@@ -41,18 +42,20 @@ def bench_level0():
     skip = jax.random.normal(jax.random.PRNGKey(5), (b, h, w, c)).astype(
         jnp.bfloat16)
 
-    @jax.jit
-    def loop_fused(x):
-        def body(cur, i):
-            s, bi = fold_group_norm(gn, cur, 32)
-            hh = gn_silu_conv3x3(cur, s, bi, cv["kernel"], cv["bias"],
-                                 channel_bias=temb)
-            s2, b2 = fold_group_norm(gn, hh, 32)
-            o = gn_silu_conv3x3(hh, s2, b2, cv["kernel"], cv["bias"],
-                                skip=skip)
-            return (o * (1.0 / (1.0 + 1e-6 * i))).astype(cur.dtype), None
-        out, _ = jax.lax.scan(body, x, jnp.arange(float(ITERS)))
-        return out
+    def make_loop_fused(op, **kw):
+        @jax.jit
+        def loop_fused(x):
+            def body(cur, i):
+                s, bi = fold_group_norm(gn, cur, 32)
+                hh = op(cur, s, bi, cv["kernel"], cv["bias"],
+                        channel_bias=temb, **kw)
+                s2, b2 = fold_group_norm(gn, hh, 32)
+                o = op(hh, s2, b2, cv["kernel"], cv["bias"],
+                       skip=skip, **kw)
+                return (o * (1.0 / (1.0 + 1e-6 * i))).astype(cur.dtype), None
+            out, _ = jax.lax.scan(body, x, jnp.arange(float(ITERS)))
+            return out
+        return loop_fused
 
     @jax.jit
     def loop_ref(x):
@@ -65,7 +68,15 @@ def bench_level0():
         return out
 
     flops = ITERS * 2 * 2 * b * h * w * c * c * 9  # 2 convs, 2 flops/MAC
-    for name, fn in [("fused", loop_fused), ("xla  ", loop_ref)]:
+    variants = [
+        ("xla   ", loop_ref),
+        ("fused ", make_loop_fused(gn_silu_conv3x3)),
+        ("v2    ", make_loop_fused(gn_silu_conv3x3_v2)),
+    ]
+    for br in (512, 1224, 2448):  # v2 row-block sweep (m=4752 at 64^2)
+        variants.append((f"v2_{br:<4}", make_loop_fused(
+            functools.partial(gn_silu_conv3x3_v2, block_rows=br))))
+    for name, fn in variants:
         np.asarray(fn(x))  # compile + run
         ts = []
         for i in range(5):
@@ -116,7 +127,7 @@ def bench_step():
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 4),
                            jnp.float32)
-    for impl in ["pallas", "xla"]:
+    for impl in ["xla", "pallas2", "pallas"]:
         fn = make_loop(impl)
         np.asarray(fn(x0))
         ts = []

@@ -278,20 +278,24 @@ def _up_skip_channels(cfg: UNetConfig, level: int) -> List[int]:
 
 def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla"):
     t = linear(p["time_emb_proj"], silu(temb))
-    if conv_impl == "pallas":
+    if conv_impl in ("pallas", "pallas2"):
         # Fused one-HBM-pass branch: GN stats are a cheap XLA reduction,
         # folded into a per-(batch, channel) affine; normalize+SiLU+conv3x3
         # (+temb / +skip) run inside one Pallas kernel (ops/pallas/
-        # conv_fused.py). Falls back to the XLA path per-resnet when the
+        # conv_fused.py; "pallas2" selects the shift-free implicit-GEMM
+        # variant). Falls back to the XLA path per-resnet when the
         # working set exceeds VMEM (very large latents).
         from ..ops.pallas.conv_fused import (
             fold_group_norm,
             gn_silu_conv3x3,
+            gn_silu_conv3x3_v2,
         )
 
+        fused = gn_silu_conv3x3_v2 if conv_impl == "pallas2" else \
+            gn_silu_conv3x3
         try:
             s1, b1 = fold_group_norm(p["norm1"], x, groups, eps)
-            h = gn_silu_conv3x3(
+            h = fused(
                 x, s1, b1, p["conv1"]["kernel"].astype(x.dtype),
                 p["conv1"]["bias"], channel_bias=t.astype(jnp.float32),
             )
@@ -300,7 +304,7 @@ def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla"):
                 sc = conv2d(p["conv_shortcut"], x, padding="VALID")
             else:
                 sc = x
-            return gn_silu_conv3x3(
+            return fused(
                 h, s2, b2, p["conv2"]["kernel"].astype(h.dtype),
                 p["conv2"]["bias"], skip=sc,
             )

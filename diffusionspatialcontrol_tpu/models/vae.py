@@ -31,26 +31,29 @@ def _resnet_init(key, in_c, out_c, dtype):
 
 
 def _resnet_apply(p, x, groups, conv_impl: str = "xla"):
-    if conv_impl == "pallas":
+    if conv_impl in ("pallas", "pallas2"):
         # Same fused one-HBM-pass branch as the UNet resnets (ops/pallas/
-        # conv_fused.py); the decoder's large spatial maps (up to 512^2)
-        # take the row-tiled kernel. Falls back per-resnet when the tile
-        # search fails.
+        # conv_fused.py; "pallas2" = shift-free implicit GEMM); the
+        # decoder's large spatial maps (up to 512^2) take the row-tiled
+        # kernel. Falls back per-resnet when the tile search fails.
         from ..ops.pallas.conv_fused import (
             fold_group_norm,
             gn_silu_conv3x3,
+            gn_silu_conv3x3_v2,
         )
 
+        fused = gn_silu_conv3x3_v2 if conv_impl == "pallas2" else \
+            gn_silu_conv3x3
         try:
             s1, b1 = fold_group_norm(p["norm1"], x, groups, 1e-6)
-            h = gn_silu_conv3x3(x, s1, b1, p["conv1"]["kernel"].astype(
+            h = fused(x, s1, b1, p["conv1"]["kernel"].astype(
                 x.dtype), p["conv1"]["bias"])
             s2, b2 = fold_group_norm(p["norm2"], h, groups, 1e-6)
             if "conv_shortcut" in p:
                 sc = conv2d(p["conv_shortcut"], x, padding="VALID")
             else:
                 sc = x
-            return gn_silu_conv3x3(h, s2, b2, p["conv2"]["kernel"].astype(
+            return fused(h, s2, b2, p["conv2"]["kernel"].astype(
                 h.dtype), p["conv2"]["bias"], skip=sc)
         except ValueError:
             pass

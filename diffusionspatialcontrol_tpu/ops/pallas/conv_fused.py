@@ -407,3 +407,267 @@ def gn_silu_conv3x3(
 
     out = out[:, :m].reshape(b, h + 2, wp2, c_out_pad)
     return out[:, :h, :w, :c_out]
+
+
+# ---------------------------------------------------------------------------
+# v2: shift-free implicit GEMM
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above accumulates 9 tap matmuls, each followed by a
+# ``pltpu.roll`` of the fp32 (M, C_out_t) product — ~9 sublane rotations of
+# the *output* per contraction chunk. The recorded A/B (PERF.md round 3)
+# shows that shuffle traffic losing ~1.6x to XLA's conv emitter at the
+# 512^2 hot shapes. v2 removes every roll:
+#
+#   * the padded row stride is rounded UP to a sublane multiple
+#     (wp2 = round_up(W+2, 8)), so a vertical tap offset dy*wp2 is an
+#     8-aligned STATIC row slice — free addressing, no rotation;
+#   * the three horizontal taps are folded into the contraction: a patch
+#     matrix Q[i] = concat(act[i], act[i+1], act[i+2]) is built once with
+#     two bf16 sublane-shifted copies of the *input* (half the bytes of one
+#     fp32 output roll), then the conv is exactly THREE MXU dots
+#         acc = sum_dy  Q[dy*wp2 : dy*wp2 + M_t] @ Kcat[dy]
+#     with Kcat[dy] = concat_dx kernel[dy, dx]  of shape (3*C_in_t, C_out_t)
+#     — a 3x deeper K dimension than v1's per-tap dots;
+#   * the grid row-tiles M unconditionally (halo rows recomputed, ~2*wp2/M_t
+#     duplicated work), giving Mosaic several programs per batch item to
+#     double-buffer HBM loads against, where v1's single-slab path ran one
+#     program per (batch, C_out tile) with nothing to overlap.
+#
+# Semantics and VMEM-guard behavior are identical to gn_silu_conv3x3.
+
+
+def _kernel_v2(xa_ref, xb_blk_ref, scale_ref, bias_ref, w_ref, cb_ref,
+               xb_ref, skip_ref, out_ref, acc_ref, *, wp2: int, h: int,
+               w: int, m_t: int, has_xb: bool, has_skip: bool):
+    r_idx = pl.program_id(1)
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _():
+        if has_skip:
+            acc_ref[:] = skip_ref[0].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rows = m_t + 2 * wp2 + 2  # taps reach dy*wp2 + dx <= 2*wp2 + 2 ahead
+    xv = jnp.concatenate([xa_ref[0], xb_blk_ref[0]], axis=0)[:rows]
+    xv = xv.astype(jnp.float32)
+    act = xv * scale_ref[0] + bias_ref[0]
+    act = act * jax.nn.sigmoid(act)  # SiLU in fp32
+    # Zero everything outside the true interior: the one-pixel top/bottom
+    # border, the left border column, and the right padding columns
+    # (W+1..wp2-1) that widen the row stride to a sublane multiple.
+    g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + r_idx * m_t)
+    y = g // wp2
+    xcol = g - y * wp2
+    interior = (y >= 1) & (y <= h) & (xcol >= 1) & (xcol <= w)
+    act = jnp.where(interior, act, 0.0).astype(xa_ref.dtype)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rq = m_t + 2 * wp2
+    # act[d:rq+d] as explicit sublane rotations: a plain shifted slice
+    # carries a non-zero sublane offset in its Mosaic layout, and
+    # tpu.concatenate on the LANE dim rejects operands whose sublane
+    # offsets differ ("offset mismatch on non-concat dimension").
+    # pltpu.roll re-materializes each copy at offset 0; the wrapped-around
+    # tail rows land past rq and are sliced away.
+    shifts = [act[:rq]] + [
+        pltpu.roll(act, rows - d, 0)[:rq] for d in (1, 2)
+    ]
+    q = jnp.concatenate(shifts, axis=1)
+    acc = None
+    for dy in range(3):
+        p = jax.lax.dot_general(
+            q[dy * wp2: dy * wp2 + m_t], w_ref[0, dy],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    acc_ref[:] += acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        res = acc_ref[:] + cb_ref[0]
+        if has_xb:
+            res = res + xb_ref[0]
+        out_ref[0] = res.astype(out_ref.dtype)
+
+
+def _vmem_bytes_v2(m_t: int, wp2: int, c_in_t: int, c_out_t: int,
+                   itemsize: int, has_skip: bool) -> int:
+    rows = m_t + 2 * wp2 + 2
+    x_b = 4 * m_t * c_in_t * itemsize  # two block views, double-buffered
+    act_b = rows * c_in_t * 4  # fp32 affine/SiLU temp
+    q_b = (m_t + 2 * wp2) * 3 * c_in_t * itemsize
+    p_b = m_t * c_out_t * 4
+    acc_b = m_t * c_out_t * 4
+    w_b = 2 * 9 * c_in_t * c_out_t * itemsize
+    out_b = m_t * c_out_t * itemsize
+    sk_b = m_t * c_out_t * itemsize if has_skip else 0
+    return x_b + act_b + q_b + p_b + acc_b + w_b + out_b + sk_b
+
+
+def _pick_tiles_v2(m: int, wp2: int, c_in_pad: int, c_out_pad: int,
+                   itemsize: int, has_skip: bool,
+                   block_rows: Optional[int] = None,
+                   budget: int = 12 * 2**20):
+    """(m_t, c_out_t, c_in_t) search for the v2 grid. Row-block sizes are
+    derived from the actual row count — m_t = round_up(ceil(m / n), 8) for
+    ascending block counts n — so small latent levels (8x8 -> m=160) are
+    not padded out to a fixed power of two. Blocks must still cover the
+    2*wp2+2 tap halo out of the next block (m_t >= 2*wp2+2). First fit
+    wins: fewest blocks (least halo recompute), then widest contraction
+    chunk, then widest output tile."""
+    if block_rows:
+        m_opts = [block_rows] if (block_rows % 8 == 0
+                                  and block_rows >= 2 * wp2 + 2) else []
+    else:
+        m_opts = []
+        n = 1
+        while True:
+            m_t = _round_up(-(-m // n), 8)
+            if m_t < max(2 * wp2 + 2, 128):
+                break
+            if not m_opts or m_t < m_opts[-1]:
+                m_opts.append(m_t)
+            n += 1
+    for m_t in m_opts:
+        for c_in_t in (512, 384, 256, 128):
+            if c_in_pad % c_in_t:
+                continue
+            for c_out_t in (512, 384, 256, 128):
+                if c_out_pad % c_out_t:
+                    continue
+                if _vmem_bytes_v2(m_t, wp2, c_in_t, c_out_t, itemsize,
+                                  has_skip) <= budget:
+                    return m_t, c_in_t, c_out_t
+    return None
+
+
+def gn_silu_conv3x3_v2(
+    x: jnp.ndarray,  # (B, H, W, C_in)
+    scale: jnp.ndarray,  # (B, C_in) fp32 folded GN scale
+    bias: jnp.ndarray,  # (B, C_in) fp32 folded GN bias
+    kernel: jnp.ndarray,  # (3, 3, C_in, C_out) HWIO
+    conv_bias: jnp.ndarray,  # (C_out,)
+    channel_bias: Optional[jnp.ndarray] = None,  # (B, C_out), e.g. temb
+    skip: Optional[jnp.ndarray] = None,  # (B, H, W, C_out)
+    block_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Shift-free implicit-GEMM variant of :func:`gn_silu_conv3x3` (same
+    contract; see the v2 block comment above). Raises ValueError when no
+    tiling fits VMEM (caller falls back to the XLA path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, c_in = x.shape
+    c_out = kernel.shape[-1]
+    wp2 = _round_up(w + 2, 8)  # row stride: 8-aligned vertical tap offsets
+    m = (h + 2) * wp2
+    c_in_pad = _round_up(c_in, 128)
+    c_out_pad = _round_up(c_out, 128)
+    itemsize = jnp.dtype(x.dtype).itemsize
+
+    has_skip = skip is not None
+    has_xb = channel_bias is not None
+    tiles = _pick_tiles_v2(m, wp2, c_in_pad, c_out_pad, itemsize, has_skip,
+                           block_rows)
+    if tiles is None:
+        raise ValueError(
+            f"gn_silu_conv3x3_v2 working set too large for VMEM "
+            f"(wp2={wp2}, C_in={c_in}, C_out={c_out})"
+        )
+    m_t, c_in_t, c_out_t = tiles
+    m_pad = _round_up(m, m_t)
+    n_rows = m_pad // m_t
+    n_k = c_in_pad // c_in_t
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp2 - w - 1),
+                     (0, c_in_pad - c_in)))
+    xp = xp.reshape(b, m, c_in_pad)
+    if m_pad != m:
+        xp = jnp.pad(xp, ((0, 0), (0, m_pad - m), (0, 0)))
+    # Kcat[k, dy] = concat_dx kernel[dy, dx, chunk_k, :]: rows match Q's
+    # [dx=0 | dx=1 | dx=2] channel-block layout.
+    kf = jnp.pad(kernel, ((0, 0), (0, 0), (0, c_in_pad - c_in),
+                          (0, c_out_pad - c_out)))
+    kf = kf.reshape(3, 3, n_k, c_in_t, c_out_pad)
+    kf = kf.transpose(2, 0, 1, 3, 4).reshape(n_k, 3, 3 * c_in_t, c_out_pad)
+    scale_p = jnp.pad(scale.astype(jnp.float32),
+                      ((0, 0), (0, c_in_pad - c_in)))[:, None, :]
+    bias_p = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, c_in_pad - c_in)))[:, None, :]
+    cb = jnp.pad(conv_bias.astype(jnp.float32), (0, c_out_pad - c_out))
+    cb = jnp.broadcast_to(cb[None, None], (1, 1, c_out_pad))
+    if has_xb:
+        xb = jnp.pad(channel_bias.astype(jnp.float32),
+                     ((0, 0), (0, c_out_pad - c_out)))[:, None, :]
+    else:
+        xb = jnp.zeros((b, 1, c_out_pad), jnp.float32)
+    if has_skip:
+        # skip[y, x] must land at flat index y*wp2 + x (the output's
+        # coordinate system): trailing-edge pads only.
+        skp = jnp.pad(skip, ((0, 0), (0, 2), (0, wp2 - w),
+                             (0, c_out_pad - c_out)))
+        skp = skp.reshape(b, m, c_out_pad)
+        if m_pad != m:
+            skp = jnp.pad(skp, ((0, 0), (0, m_pad - m), (0, 0)))
+        sk_spec = pl.BlockSpec((1, m_t, c_out_t),
+                               lambda i, r, j, k: (i, r, j), **_MEMSPACE)
+    else:
+        skp = jnp.zeros((b, 8, 128), x.dtype)
+        sk_spec = pl.BlockSpec((1, 8, 128), lambda i, r, j, k: (i, 0, 0),
+                               **_MEMSPACE)
+
+    last = n_rows - 1
+    grid = (b, n_rows, c_out_pad // c_out_t, n_k)
+    scratch = (
+        [pltpu.VMEM((m_t, c_out_t), jnp.float32)]
+        if pltpu is not None
+        else [jax.ShapeDtypeStruct((m_t, c_out_t), jnp.float32)]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v2, wp2=wp2, h=h, w=w, m_t=m_t,
+            has_xb=has_xb, has_skip=has_skip,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out_pad), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m_t, c_in_t),
+                         lambda i, r, j, k: (i, r, k), **_MEMSPACE),
+            # next row block (clamped at the end): halo source
+            pl.BlockSpec(
+                (1, m_t, c_in_t),
+                lambda i, r, j, k: (i, jnp.minimum(r + 1, last), k),
+                **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_in_t), lambda i, r, j, k: (i, 0, k),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_in_t), lambda i, r, j, k: (i, 0, k),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 3, 3 * c_in_t, c_out_t),
+                         lambda i, r, j, k: (k, 0, 0, j), **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_out_t), lambda i, r, j, k: (0, 0, j),
+                         **_MEMSPACE),
+            pl.BlockSpec((1, 1, c_out_t), lambda i, r, j, k: (i, 0, j),
+                         **_MEMSPACE),
+            sk_spec,
+        ],
+        out_specs=pl.BlockSpec((1, m_t, c_out_t),
+                               lambda i, r, j, k: (i, r, j), **_MEMSPACE),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m_pad * 9 * c_in_pad * c_out_pad,
+            bytes_accessed=(xp.size * itemsize + kf.size * itemsize
+                            + b * m_pad * c_out_pad * itemsize),
+            transcendentals=b * m_pad * c_in_pad,
+        ),
+        interpret=interpret,
+    )(xp, xp, scale_p, bias_p, kf, cb, xb, skp)
+
+    out = out[:, :m].reshape(b, h + 2, wp2, c_out_pad)
+    return out[:, :h, :w, :c_out]

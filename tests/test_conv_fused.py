@@ -17,6 +17,7 @@ from diffusionspatialcontrol_tpu.models.layers import (
 from diffusionspatialcontrol_tpu.ops.pallas.conv_fused import (
     fold_group_norm,
     gn_silu_conv3x3,
+    gn_silu_conv3x3_v2,
 )
 
 
@@ -104,6 +105,64 @@ def test_fused_conv_vmem_guard_raises():
     k = jnp.zeros((3, 3, 320, 320), jnp.bfloat16)
     with pytest.raises(ValueError):
         gn_silu_conv3x3(x, s, s, k, jnp.zeros((320,), jnp.bfloat16))
+
+
+def test_fused_conv_v2_fp32_exact():
+    x, gn, cv, temb, skip = _setup()
+    ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=8)))
+           + temb[:, None, None, :] + skip)
+    s, b = fold_group_norm(gn, x, num_groups=8)
+    got = gn_silu_conv3x3_v2(x, s, b, cv["kernel"], cv["bias"],
+                             channel_bias=temb, skip=skip, block_rows=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_conv_v2_no_extras_single_block():
+    # n_rows == 1: the clamped "next block" view re-reads the same block;
+    # the interior mask must zero those bogus halo rows.
+    x, gn, cv, _, _ = _setup(b=1, h=8, w=8, c_in=16, c_out=16)
+    ref = conv2d(cv, silu(group_norm(gn, x, num_groups=4)))
+    s, b = fold_group_norm(gn, x, num_groups=4)
+    got = gn_silu_conv3x3_v2(x, s, b, cv["kernel"], cv["bias"],
+                             block_rows=200)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_conv_v2_nonsquare_odd_dims_multirow():
+    # W+2 rounds up to a non-trivial stride (13+2 -> 16); several row
+    # blocks with halo recompute; C not a lane multiple.
+    x, gn, cv, temb, skip = _setup(b=1, h=17, w=13, c_in=24, c_out=40)
+    ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=4)))
+           + temb[:, None, None, :] + skip)
+    s, b = fold_group_norm(gn, x, num_groups=4)
+    got = gn_silu_conv3x3_v2(x, s, b, cv["kernel"], cv["bias"],
+                             channel_bias=temb, skip=skip, block_rows=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_conv_v2_cin_chunked():
+    # C_in=640 pads to 640, which only the 128-wide chunk divides → 5
+    # contraction chunks: exercises the cross-chunk accumulator
+    # init/finalize.
+    x, gn, cv, temb, _ = _setup(b=1, h=10, w=6, c_in=640, c_out=32)
+    ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=8)))
+           + temb[:, None, None, :])
+    s, b = fold_group_norm(gn, x, num_groups=8)
+    got = gn_silu_conv3x3_v2(x, s, b, cv["kernel"], cv["bias"],
+                             channel_bias=temb, block_rows=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_resnet_apply_pallas2_matches_xla():
+    from diffusionspatialcontrol_tpu.models.unet import _resnet_apply, \
+        _resnet_init
+
+    p = _resnet_init(jax.random.PRNGKey(0), 32, 48, 64, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+    ref = _resnet_apply(p, x, temb, 8, 1e-5, conv_impl="xla")
+    got = _resnet_apply(p, x, temb, 8, 1e-5, conv_impl="pallas2")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
 def test_resnet_apply_pallas_matches_xla():
