@@ -603,6 +603,7 @@ def inference(
     latent_preview: bool = False,
     timeout: float = registry.INFERENCE_TIMEOUT_S,
     cancel_check_steps: Optional[int] = None,
+    cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
     dtype=jnp.bfloat16,
 ):
     """Generate images. Returns dict with ``images`` (B, H, W, 3) uint8,
@@ -890,6 +891,21 @@ def inference(
                 chunk_steps=cancel_check_steps,
                 on_chunk=lambda done, total: watchdog.check(),
                 uint8_output=True,
+            )
+        elif cfg_tail_frac and cfg_tail_frac > 0.0:
+            # Optional acceleration: the final cfg_tail_frac of solver
+            # steps run cond-only (guidance off) — no reference
+            # counterpart; excluded from headline benchmarks. Unsupported
+            # combos raise rather than silently degrade.
+            if hires is not None or latent_preview:
+                raise ValueError(
+                    "cfg_tail_frac does not combine with hires or "
+                    "latent_preview"
+                )
+            out = pipe.txt2img_cfg_tail(
+                context, gen, cfg_tail_frac, seed=seed,
+                region_biases=region_biases, batch_size=batch,
+                extras=extras, uint8_output=True,
             )
         else:
             res = pipe.txt2img(

@@ -126,7 +126,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "encoding_mode", "guidance_rescale", "strength",
                     "hires_scale", "hires_strength", "hires_mode",
                     "hires_steps", "eta", "cancel_check_steps", "timeout",
-                    "latent_preview",
+                    "latent_preview", "cfg_tail_frac",
                 )
                 if k in req
             }

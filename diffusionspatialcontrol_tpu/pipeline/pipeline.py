@@ -189,6 +189,47 @@ def _interleave_cfg(a: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def cond_half_conditioning(
+    context: jnp.ndarray,
+    region_biases: Optional[Tuple[jnp.ndarray, ...]],
+    extras: Optional[DenoiseExtras],
+):
+    """Slice every CFG-doubled ([uncond..., cond...]) conditioning tensor
+    down to its cond half, for a no-CFG (guidance off) segment. Fields that
+    are never CFG-doubled (inpaint mask/latents/noise, guess-mode
+    ControlNet images — see build_controlnet_extras) pass through."""
+
+    def half(a):
+        return a[a.shape[0] // 2:]
+
+    ctx = half(context)
+    rb = (None if region_biases is None
+          else tuple(half(b) for b in region_biases))
+    ex = extras
+    if extras is not None:
+        ex = dataclasses.replace(
+            extras,
+            controlnet_images=(
+                extras.controlnet_images
+                if extras.controlnet_images is None or extras.controlnet_guess
+                else [half(i) for i in extras.controlnet_images]),
+            t2i_residuals=(
+                None if extras.t2i_residuals is None
+                else tuple(half(f) for f in extras.t2i_residuals)),
+            ip_tokens=(
+                None if extras.ip_tokens is None
+                else tuple(half(t) for t in extras.ip_tokens)),
+            ip_masks=(
+                None if extras.ip_masks is None
+                else tuple(None if m is None else half(m)
+                           for m in extras.ip_masks)),
+            extra_channels=(
+                None if extras.extra_channels is None
+                else half(extras.extra_channels)),
+        )
+    return ctx, rb, ex
+
+
 def make_denoise_fn(
     params: Dict[str, Any],
     model_cfg: ModelConfig,
@@ -828,6 +869,53 @@ class StableDiffusionTPU:
                     jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
                 ).astype(jnp.uint8)
         return x
+
+    def txt2img_cfg_tail(
+        self,
+        context: jnp.ndarray,
+        gen: GenerationConfig,
+        tail_frac: float,
+        seed=0,
+        region_biases=None,
+        batch_size: int = 1,
+        extras: Optional[DenoiseExtras] = None,
+        decode: bool = True,
+        uint8_output: bool = False,
+    ):
+        """txt2img with the final ``tail_frac`` of solver steps run
+        WITHOUT the CFG pair (cond batch only, guidance off) — an optional
+        acceleration mode with no reference counterpart (the reference
+        always runs both halves every step). Rationale: by the low-sigma
+        tail the cond and uncond predictions have largely converged, so
+        dropping the uncond pass halves the tail's UNet work for a
+        near-imperceptible output change (cf. PAPERS.md step-skipping
+        lines). Built on the chunked runner's pause/resume: segment 1 runs
+        the CFG program to the cutoff, segment 2 resumes the SAME solver
+        carry/noise streams with cond-only conditioning, so
+        ``tail_frac=0.0`` is bitwise identical to :meth:`txt2img`."""
+        sigmas, _ = self._schedule(gen)
+        n_total = solvers.scan_length(gen.sampler, sigmas)
+        n_tail = int(round(n_total * float(tail_frac)))
+        cutoff = max(1, n_total - n_tail)  # keep >= 1 CFG step
+        if cutoff >= n_total or gen.guidance_scale <= 1.0:
+            return self.txt2img(
+                context, gen, seed=seed, region_biases=region_biases,
+                batch_size=batch_size, extras=extras, decode=decode,
+                uint8_output=uint8_output,
+            )
+        pause = self.sample_chunked(
+            context, gen, seed=seed, region_biases=region_biases,
+            batch_size=batch_size, extras=extras, chunk_steps=cutoff,
+            on_chunk=lambda done, total: done < cutoff, decode=False,
+        )
+        ctx2, rb2, ex2 = cond_half_conditioning(
+            context, region_biases, extras)
+        gen2 = dataclasses.replace(gen, guidance_scale=1.0)
+        return self.sample_chunked(
+            ctx2, gen2, seed=seed, region_biases=rb2, batch_size=batch_size,
+            extras=ex2, chunk_steps=n_total, resume=pause, decode=decode,
+            uint8_output=uint8_output,
+        )
 
     def txt2img(
         self,

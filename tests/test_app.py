@@ -773,3 +773,26 @@ def test_grid_without_cfg(manager):
         dtype=jnp.float32,
     )
     assert r["images"].shape == (4, 64, 64, 3)
+
+
+def test_inference_cfg_tail_frac(manager):
+    """cfg_tail_frac: the last fraction of steps runs cond-only. 0.0 is
+    the plain path; >0 still returns valid images; unsupported combos
+    raise instead of silently degrading."""
+    kwargs = dict(
+        model="tiny", sampler="Euler Karras", steps=4, width=64, height=64,
+        seed=11, encoding_mode="short", dtype=jnp.float32,
+    )
+    base = inference(manager, prompt="a red cat", **kwargs)
+    fast = inference(manager, prompt="a red cat", cfg_tail_frac=0.5,
+                     **kwargs)
+    assert fast["images"].shape == base["images"].shape
+    assert fast["images"].dtype == np.uint8
+    assert np.any(fast["images"] != base["images"])  # guidance changed
+
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", cfg_tail_frac=0.5,
+                  hires_scale=2.0, **kwargs)
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", cfg_tail_frac=0.5,
+                  latent_preview=True, **kwargs)

@@ -483,3 +483,53 @@ def test_chunked_pause_resume_bitwise_identical():
     with pytest.raises(ValueError):
         pipe.sample_chunked(ctx, GEN, seed=3, decode=False,
                             resume=_dc.replace(pause, n_total=99))
+
+
+def test_txt2img_cfg_tail():
+    """Optional acceleration mode: the final tail_frac of steps run
+    cond-only. tail_frac=0 must be bitwise identical to txt2img; a real
+    tail must still be deterministic, finite, and close to (but not
+    identical to) the full-CFG result; region biases must be halved
+    consistently."""
+    from tests.test_pipeline import GEN, TINY
+    from diffusionspatialcontrol_tpu.models import factory
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        StableDiffusionTPU,
+    )
+    from diffusionspatialcontrol_tpu.text.tokenizer import HashTokenizer
+
+    params = factory.init_pipeline_params(
+        jax.random.PRNGKey(0), TINY, jnp.float32
+    )
+    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+    ctx, ids = pipe.encode_prompt(["a red cat"], [""])
+    full = pipe.txt2img(ctx, GEN, seed=3, decode=False)
+
+    same = pipe.txt2img_cfg_tail(ctx, GEN, 0.0, seed=3, decode=False)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(same))
+
+    tail = pipe.txt2img_cfg_tail(ctx, GEN, 0.5, seed=3, decode=False)
+    t = np.asarray(tail)
+    assert t.shape == np.asarray(full).shape
+    assert np.all(np.isfinite(t))
+    assert np.any(t != np.asarray(full))  # guidance really changed
+    # converged enough that the tail approximates the full-CFG output
+    f = np.asarray(full)
+    rel = np.abs(t - f).mean() / (np.abs(f).mean() + 1e-9)
+    assert rel < 0.5, rel
+    tail2 = pipe.txt2img_cfg_tail(ctx, GEN, 0.5, seed=3, decode=False)
+    np.testing.assert_array_equal(t, np.asarray(tail2))  # deterministic
+
+    # with region biases (CFG-doubled -> halved for the tail segment)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 0.8, "mask_outsides": 0.2}}
+    biases = pipe.encode_region([state], ids, height=64, width=64,
+                                do_cfg=True)
+    out = pipe.txt2img_cfg_tail(ctx, GEN, 0.4, seed=3, decode=False,
+                                region_biases=biases)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # tail_frac=1.0 still keeps at least one CFG step
+    out = pipe.txt2img_cfg_tail(ctx, GEN, 1.0, seed=3, decode=False)
+    assert np.all(np.isfinite(np.asarray(out)))
