@@ -77,7 +77,12 @@ def bench_level0():
         variants.append((f"v2_{br:<4}", make_loop_fused(
             functools.partial(gn_silu_conv3x3_v2, block_rows=br))))
     for name, fn in variants:
-        np.asarray(fn(x))  # compile + run
+        try:
+            np.asarray(fn(x))  # compile + run
+        except Exception as e:  # per-variant: a Mosaic reject must not
+            print(f"{name} level0: COMPILE FAILED "  # kill the sweep
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
         ts = []
         for i in range(5):
             xi = x * (1.0 + 1e-5 * (i + 1))  # relay caches identical values
