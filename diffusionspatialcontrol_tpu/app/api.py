@@ -604,6 +604,10 @@ def inference(
     timeout: float = registry.INFERENCE_TIMEOUT_S,
     cancel_check_steps: Optional[int] = None,
     cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
+    progress_cb=None,  # fn(steps_done, steps_total); may raise to cancel.
+    # Only ticks on the chunked path (cancel_check_steps set, plain
+    # txt2img) — other paths run as one compiled program with no host
+    # re-entry to report from.
     dtype=jnp.bfloat16,
 ):
     """Generate images. Returns dict with ``images`` (B, H, W, 3) uint8,
@@ -884,12 +888,24 @@ def inference(
             # every model_fn (model_k_diffusion.py:1094-1095); here the
             # scan re-enters the host every cancel_check_steps steps and
             # the watchdog can abort mid-generation (bitwise-identical
-            # results to the single-scan path).
+            # results to the single-scan path). progress_cb (the async job
+            # API's hook) ticks at the same boundaries and may raise to
+            # cancel.
+            if cfg_tail_frac and cfg_tail_frac > 0.0:
+                raise ValueError(
+                    "cfg_tail_frac does not combine with cancel_check_steps"
+                )
+
+            def _tick(done, total):
+                watchdog.check()
+                if progress_cb is not None:
+                    progress_cb(done, total)
+
             out = pipe.sample_chunked(
                 context, gen, seed=seed, region_biases=region_biases,
                 batch_size=batch, extras=extras,
                 chunk_steps=cancel_check_steps,
-                on_chunk=lambda done, total: watchdog.check(),
+                on_chunk=_tick,
                 uint8_output=True,
             )
         elif cfg_tail_frac and cfg_tail_frac > 0.0:

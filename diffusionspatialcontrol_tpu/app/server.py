@@ -9,17 +9,33 @@ import in ``launch_gradio``).
 Endpoints:
   POST /generate   — inference() parameters as JSON (images base64 PNG-less
                      raw arrays for zero-dependency transport)
+  POST /jobs             — same payload, asynchronous: returns a job_id
+  GET  /jobs             — queue listing (id, status, progress)
+  GET  /jobs/<id>        — status + progress; full result when done
+  POST /jobs/<id>/cancel — drop a queued job, or abort a running one at the
+                           next chunk boundary (pass cancel_check_steps in
+                           the job payload for live progress/cancellation;
+                           without it the job is one compiled program and
+                           cancellation only applies while queued)
   GET  /models     — registered checkpoints
   GET  /samplers   — sampler registry names
   GET  /health
+
+The job queue is this framework's answer to the reference's Gradio queue
+(source/app.py:3063 ``.queue().launch()`` — opaque, no status/cancel API):
+one worker thread owns the device, requests coalesce in FIFO order, and
+clients poll instead of holding a connection open for the whole render.
 """
 
 from __future__ import annotations
 
 import base64
 import io
+import itertools
 import json
 import threading
+import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -27,6 +43,10 @@ import numpy as np
 
 from .. import registry
 from .api import ModelManager, inference
+
+
+class GenerationCancelled(RuntimeError):
+    """Raised out of a progress callback to abort a running generation."""
 
 
 def _encode_images(images: np.ndarray):
@@ -38,9 +58,216 @@ def _encode_images(images: np.ndarray):
     ]
 
 
+def _inference_kwargs(req: dict) -> dict:
+    """JSON /generate payload -> inference() kwargs (shared with /jobs)."""
+
+    def _parse_state(state):
+        if not state:
+            return None
+        return {
+            phrase: {
+                "mask": np.asarray(spec["mask"], np.float32),
+                "weight": float(spec.get("weight", 1.0)),
+                "mask_outsides": float(spec.get("mask_outsides", 0.0)),
+            }
+            for phrase, spec in state.items()
+        }
+
+    raw_state = req.get("region_state")
+    if isinstance(raw_state, list):
+        # multi-prompt batch: one region dict (or null) per prompt
+        region_state = [_parse_state(s) for s in raw_state]
+    else:
+        region_state = _parse_state(raw_state)
+    kwargs = {
+        k: req[k]
+        for k in (
+            "neg_prompt", "sampler", "steps", "cfg_scale", "width",
+            "height", "seed", "num_images_per_prompt", "clip_skip",
+            "encoding_mode", "guidance_rescale", "strength",
+            "hires_scale", "hires_strength", "hires_mode",
+            "hires_steps", "eta", "cancel_check_steps", "timeout",
+            "latent_preview", "cfg_tail_frac",
+        )
+        if k in req
+    }
+    kwargs["prompt"] = req["prompt"]
+    kwargs["model"] = req["model"]
+    kwargs["region_state"] = region_state
+
+    def _img(v):
+        return None if v is None else np.asarray(v, np.float32)
+
+    if req.get("init_image") is not None:
+        arr = np.asarray(req["init_image"], np.float32)
+        # JSON images arrive as 0..255 lists; inference's _to_pm1
+        # keys the convention off uint8 dtype
+        kwargs["init_image"] = (
+            arr.astype(np.uint8) if arr.max() > 1.5 else arr
+        )
+    if req.get("inpaint_mask") is not None:
+        kwargs["inpaint_mask"] = np.asarray(req["inpaint_mask"], np.float32)
+
+    if req.get("loras"):
+        kwargs["loras"] = [
+            (u, 1.0) if isinstance(u, str) else (u[0], float(u[1]))
+            for u in req["loras"]
+        ]
+    if req.get("ti_embeddings"):
+        kwargs["ti_embeddings"] = list(req["ti_embeddings"])
+    if req.get("controlnet_units"):
+        from .api import ControlNetUnit
+
+        kwargs["controlnet_units"] = [
+            ControlNetUnit(
+                model=u["model"], image=_img(u["image"]),
+                scale=float(u.get("scale", 1.0)),
+                guidance_start=float(u.get("guidance_start", 0.0)),
+                guidance_end=float(u.get("guidance_end", 1.0)),
+                guess_mode=bool(u.get("guess_mode", False)),
+                preprocessor=u.get("preprocessor"),
+            )
+            for u in req["controlnet_units"]
+        ]
+    if req.get("t2i_units"):
+        from .api import T2IAdapterUnit
+
+        kwargs["t2i_units"] = [
+            T2IAdapterUnit(
+                model=u["model"], image=_img(u["image"]),
+                scale=float(u.get("scale", 1.0)),
+                preprocessor=u.get("preprocessor"),
+                conditioning_factor=float(
+                    u.get("conditioning_factor", 1.0)
+                ),
+            )
+            for u in req["t2i_units"]
+        ]
+    if req.get("ip_adapter_units"):
+        from .api import IPAdapterUnit
+
+        kwargs["ip_adapter_units"] = [
+            IPAdapterUnit(
+                model=u["model"], image=_img(u.get("image")),
+                image_embeds=_img(u.get("image_embeds")),
+                scale=float(u.get("scale", 1.0)),
+                mask=_img(u.get("mask")),
+            )
+            for u in req["ip_adapter_units"]
+        ]
+    return kwargs
+
+
+def _result_payload(result: dict) -> dict:
+    payload = {
+        "images": _encode_images(result["images"]),
+        "timings": result["timings"],
+    }
+    if result.get("previews") is not None:
+        # per-step galleries; spans base + hires passes
+        payload["previews"] = [
+            _encode_images(p) for p in result["previews"]
+        ]
+    return payload
+
+
+class _Job:
+    __slots__ = ("id", "req", "status", "progress", "result", "error",
+                 "cancel", "created")
+
+    def __init__(self, job_id: str, req: dict):
+        self.id = job_id
+        self.req = req
+        self.status = "queued"  # queued|running|done|error|cancelled
+        self.progress = (0, 0)
+        self.result: Optional[dict] = None
+        self.error: Optional[str] = None
+        self.cancel = threading.Event()
+        self.created = time.time()
+
+    def brief(self) -> dict:
+        return {
+            "job_id": self.id,
+            "status": self.status,
+            "progress": {"done": self.progress[0],
+                         "total": self.progress[1]},
+        }
+
+
+class _JobQueue:
+    """FIFO job queue with one worker thread owning the device.
+
+    Replaces the reference's opaque Gradio queue (app.py:3063) with an
+    inspectable API: clients poll status/progress and can cancel. Jobs
+    keep only the last ``keep`` finished entries to bound memory."""
+
+    def __init__(self, manager: ModelManager, lock: threading.Lock,
+                 keep: int = 64):
+        self.manager = manager
+        self.lock = lock  # shared with /generate: one device owner at a time
+        self.keep = keep
+        self.jobs: "OrderedDict[str, _Job]" = OrderedDict()
+        self._ids = itertools.count(1)
+        self._cond = threading.Condition()
+        self._pending = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: dict) -> _Job:
+        job = _Job(f"job-{next(self._ids)}", req)
+        with self._cond:
+            self.jobs[job.id] = job
+            self._trim()
+            self._pending.append(job)
+            self._cond.notify()
+        return job
+
+    def get(self, job_id: str) -> Optional[_Job]:
+        return self.jobs.get(job_id)
+
+    def _trim(self):
+        done = [j for j in self.jobs.values()
+                if j.status in ("done", "error", "cancelled")]
+        for j in done[: max(0, len(done) - self.keep)]:
+            self.jobs.pop(j.id, None)
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
+                job = self._pending.pop(0)
+            if job.cancel.is_set():
+                job.status = "cancelled"
+                continue
+            job.status = "running"
+            steps = int(job.req.get("steps", 25))
+            job.progress = (0, steps)
+
+            def _cb(done, total, job=job):
+                job.progress = (done, total)
+                if job.cancel.is_set():
+                    raise GenerationCancelled(job.id)
+
+            try:
+                kwargs = _inference_kwargs(job.req)
+                with self.lock:
+                    result = inference(self.manager, progress_cb=_cb,
+                                       **kwargs)
+                job.result = _result_payload(result)
+                job.progress = (job.progress[1], job.progress[1])
+                job.status = "done"
+            except GenerationCancelled:
+                job.status = "cancelled"
+            except Exception as e:  # noqa: BLE001 - surface to the client
+                job.error = f"{type(e).__name__}: {e}"
+                job.status = "error"
+
+
 class _Handler(BaseHTTPRequestHandler):
     manager: ModelManager = None  # set by serve()
     lock = threading.Lock()  # serialize generations (reference: gradio queue)
+    job_queue: Optional[_JobQueue] = None  # set by serve()
 
     def _json(self, code: int, payload: dict):
         body = json.dumps(payload).encode()
@@ -56,6 +283,21 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"ok": True})
+        elif self.path == "/jobs":
+            self._json(200, {
+                "jobs": [j.brief() for j in self.job_queue.jobs.values()],
+            })
+        elif self.path.startswith("/jobs/"):
+            job = self.job_queue.get(self.path[len("/jobs/"):])
+            if job is None:
+                self._json(404, {"error": "no such job"})
+                return
+            payload = job.brief()
+            if job.status == "done":
+                payload.update(job.result)
+            elif job.status == "error":
+                payload["error"] = job.error
+            self._json(200, payload)
         elif self.path == "/models":
             self._json(200, {"models": sorted(self.manager._dirs)})
         elif self.path == "/samplers":
@@ -92,131 +334,49 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
+        if self.path == "/jobs":
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                _inference_kwargs(req)  # validate shape before queueing
+                job = self.job_queue.submit(req)
+                self._json(202, job.brief())
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if self.path.startswith("/jobs/") and self.path.endswith("/cancel"):
+            job = self.job_queue.get(
+                self.path[len("/jobs/"):-len("/cancel")])
+            if job is None:
+                self._json(404, {"error": "no such job"})
+                return
+            job.cancel.set()
+            if job.status == "queued":
+                job.status = "cancelled"
+            self._json(200, job.brief())
+            return
         if self.path != "/generate":
             self._json(404, {"error": "not found"})
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
-            def _parse_state(state):
-                if not state:
-                    return None
-                return {
-                    phrase: {
-                        "mask": np.asarray(spec["mask"], np.float32),
-                        "weight": float(spec.get("weight", 1.0)),
-                        "mask_outsides": float(
-                            spec.get("mask_outsides", 0.0)
-                        ),
-                    }
-                    for phrase, spec in state.items()
-                }
-
-            raw_state = req.get("region_state")
-            if isinstance(raw_state, list):
-                # multi-prompt batch: one region dict (or null) per prompt
-                region_state = [_parse_state(s) for s in raw_state]
-            else:
-                region_state = _parse_state(raw_state)
-            kwargs = {
-                k: req[k]
-                for k in (
-                    "neg_prompt", "sampler", "steps", "cfg_scale", "width",
-                    "height", "seed", "num_images_per_prompt", "clip_skip",
-                    "encoding_mode", "guidance_rescale", "strength",
-                    "hires_scale", "hires_strength", "hires_mode",
-                    "hires_steps", "eta", "cancel_check_steps", "timeout",
-                    "latent_preview", "cfg_tail_frac",
-                )
-                if k in req
-            }
-
-            def _img(v):
-                return None if v is None else np.asarray(v, np.float32)
-
-            if req.get("init_image") is not None:
-                arr = np.asarray(req["init_image"], np.float32)
-                # JSON images arrive as 0..255 lists; inference's _to_pm1
-                # keys the convention off uint8 dtype
-                kwargs["init_image"] = (
-                    arr.astype(np.uint8) if arr.max() > 1.5 else arr
-                )
-            if req.get("inpaint_mask") is not None:
-                kwargs["inpaint_mask"] = np.asarray(req["inpaint_mask"],
-                                                    np.float32)
-
-            if req.get("loras"):
-                kwargs["loras"] = [
-                    (u, 1.0) if isinstance(u, str) else (u[0], float(u[1]))
-                    for u in req["loras"]
-                ]
-            if req.get("ti_embeddings"):
-                kwargs["ti_embeddings"] = list(req["ti_embeddings"])
-            if req.get("controlnet_units"):
-                from .api import ControlNetUnit
-
-                kwargs["controlnet_units"] = [
-                    ControlNetUnit(
-                        model=u["model"], image=_img(u["image"]),
-                        scale=float(u.get("scale", 1.0)),
-                        guidance_start=float(u.get("guidance_start", 0.0)),
-                        guidance_end=float(u.get("guidance_end", 1.0)),
-                        guess_mode=bool(u.get("guess_mode", False)),
-                        preprocessor=u.get("preprocessor"),
-                    )
-                    for u in req["controlnet_units"]
-                ]
-            if req.get("t2i_units"):
-                from .api import T2IAdapterUnit
-
-                kwargs["t2i_units"] = [
-                    T2IAdapterUnit(
-                        model=u["model"], image=_img(u["image"]),
-                        scale=float(u.get("scale", 1.0)),
-                        preprocessor=u.get("preprocessor"),
-                        conditioning_factor=float(
-                            u.get("conditioning_factor", 1.0)
-                        ),
-                    )
-                    for u in req["t2i_units"]
-                ]
-            if req.get("ip_adapter_units"):
-                from .api import IPAdapterUnit
-
-                kwargs["ip_adapter_units"] = [
-                    IPAdapterUnit(
-                        model=u["model"], image=_img(u.get("image")),
-                        image_embeds=_img(u.get("image_embeds")),
-                        scale=float(u.get("scale", 1.0)),
-                        mask=_img(u.get("mask")),
-                    )
-                    for u in req["ip_adapter_units"]
-                ]
+            kwargs = _inference_kwargs(req)
             with self.lock:
-                result = inference(
-                    self.manager,
-                    prompt=req["prompt"],
-                    model=req["model"],
-                    region_state=region_state,
-                    **kwargs,
-                )
-            payload = {
-                "images": _encode_images(result["images"]),
-                "timings": result["timings"],
-            }
-            if result.get("previews") is not None:
-                # per-step galleries; spans base + hires passes
-                payload["previews"] = [
-                    _encode_images(p) for p in result["previews"]
-                ]
-            self._json(200, payload)
+                result = inference(self.manager, **kwargs)
+            self._json(200, _result_payload(result))
         except Exception as e:  # noqa: BLE001 - report to client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
 def serve(manager: ModelManager, host: str = "127.0.0.1", port: int = 7860,
           block: bool = True) -> Optional[ThreadingHTTPServer]:
-    handler = type("Handler", (_Handler,), {"manager": manager})
+    lock = threading.Lock()
+    handler = type("Handler", (_Handler,), {
+        "manager": manager,
+        "lock": lock,
+        "job_queue": _JobQueue(manager, lock),
+    })
     server = ThreadingHTTPServer((host, port), handler)
     if block:
         server.serve_forever()

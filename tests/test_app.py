@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax.numpy as jnp
@@ -796,3 +797,83 @@ def test_inference_cfg_tail_frac(manager):
     with pytest.raises(ValueError):
         inference(manager, prompt="a red cat", cfg_tail_frac=0.5,
                   latent_preview=True, **kwargs)
+
+
+def test_http_job_queue(manager):
+    """Async job API: submit -> poll -> done matches the synchronous
+    /generate result for the same seed; queued jobs can be cancelled;
+    a running job with cancel_check_steps aborts at a chunk boundary."""
+    import time as _time
+
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    server = serve(manager, port=0, block=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload=None):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload or {}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.loads(r.read())
+
+    body = {"prompt": "a cat", "model": "tiny", "sampler": "Euler",
+            "steps": 3, "width": 64, "height": 64, "seed": 21,
+            "encoding_mode": "short"}
+    try:
+        sync = post("/generate", body)
+
+        job = post("/jobs", body)
+        assert job["status"] in ("queued", "running")
+        jid = job["job_id"]
+        for _ in range(600):
+            st = get(f"/jobs/{jid}")
+            if st["status"] in ("done", "error", "cancelled"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "done", st.get("error")
+        assert st["progress"]["done"] == st["progress"]["total"]
+        assert st["images"] == sync["images"]  # byte-identical PNGs
+        assert jid in {j["job_id"] for j in get("/jobs")["jobs"]}
+
+        # cancel while queued: enqueue two long jobs back-to-back; the
+        # second is guaranteed still queued when we cancel it
+        long_body = dict(body, steps=12, seed=1,
+                         cancel_check_steps=1)
+        j1 = post("/jobs", long_body)
+        j2 = post("/jobs", dict(long_body, seed=2))
+        c = post(f"/jobs/{j2['job_id']}/cancel")
+        assert c["status"] == "cancelled"
+
+        # cancel the running one mid-scan (chunk boundary re-entry)
+        _time.sleep(0.2)
+        post(f"/jobs/{j1['job_id']}/cancel")
+        for _ in range(600):
+            s1 = get(f"/jobs/{j1['job_id']}")
+            if s1["status"] in ("done", "error", "cancelled"):
+                break
+            _time.sleep(0.5)
+        # either it was aborted mid-run or it finished before the flag
+        # was seen — both are valid terminal states, never "error"
+        assert s1["status"] in ("cancelled", "done"), s1.get("error")
+
+        # bad payloads are rejected at submit time
+        try:
+            post("/jobs", {"model": "tiny"})
+            assert False, "missing prompt must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # unknown job id
+        try:
+            get("/jobs/job-99999")
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
