@@ -604,6 +604,7 @@ def inference(
     timeout: float = registry.INFERENCE_TIMEOUT_S,
     cancel_check_steps: Optional[int] = None,
     cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
+    deepcache_interval: int = 0,  # >1: reuse deep UNet features N-1 of N steps
     progress_cb=None,  # fn(steps_done, steps_total); may raise to cancel.
     # Only ticks on the chunked path (cancel_check_steps set, plain
     # txt2img) — other paths run as one compiled program with no host
@@ -831,6 +832,12 @@ def inference(
     if grid_prompts is not None:
         from ..parallel.batched import generate_grid
 
+        if (cfg_tail_frac and cfg_tail_frac > 0.0) or (
+                deepcache_interval and deepcache_interval > 1):
+            raise ValueError(
+                "cfg_tail_frac / deepcache_interval do not combine with "
+                "multi-prompt grid mode"
+            )
         with timer.phase("sample"):
             out = generate_grid(
                 pipe, grid_prompts, grid_seeds, gen,
@@ -895,6 +902,11 @@ def inference(
                 raise ValueError(
                     "cfg_tail_frac does not combine with cancel_check_steps"
                 )
+            if deepcache_interval and deepcache_interval > 1:
+                raise ValueError(
+                    "deepcache_interval does not combine with "
+                    "cancel_check_steps"
+                )
 
             def _tick(done, total):
                 watchdog.check()
@@ -907,6 +919,27 @@ def inference(
                 chunk_steps=cancel_check_steps,
                 on_chunk=_tick,
                 uint8_output=True,
+            )
+        elif deepcache_interval and deepcache_interval > 1:
+            # Optional acceleration: DeepCache-style deep-branch feature
+            # reuse — every deepcache_interval-th step runs the full UNet,
+            # the rest run only the shallow layers (models/unet.py
+            # unet_apply_deepcache). No reference counterpart; excluded
+            # from headline benchmarks. Unsupported combos raise rather
+            # than silently degrade.
+            if hires is not None or latent_preview:
+                raise ValueError(
+                    "deepcache_interval does not combine with hires or "
+                    "latent_preview"
+                )
+            if cfg_tail_frac and cfg_tail_frac > 0.0:
+                raise ValueError(
+                    "deepcache_interval does not combine with cfg_tail_frac"
+                )
+            out = pipe.txt2img_deepcache(
+                context, gen, deepcache_interval, seed=seed,
+                region_biases=region_biases, batch_size=batch,
+                extras=extras, uint8_output=True,
             )
         elif cfg_tail_frac and cfg_tail_frac > 0.0:
             # Optional acceleration: the final cfg_tail_frac of solver

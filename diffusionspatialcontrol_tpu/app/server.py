@@ -87,7 +87,7 @@ def _inference_kwargs(req: dict) -> dict:
             "encoding_mode", "guidance_rescale", "strength",
             "hires_scale", "hires_strength", "hires_mode",
             "hires_steps", "eta", "cancel_check_steps", "timeout",
-            "latent_preview", "cfg_tail_frac",
+            "latent_preview", "cfg_tail_frac", "deepcache_interval",
         )
         if k in req
     }
@@ -331,6 +331,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(200, {"image": _encode_images(
                     np.round(np.asarray(out) * 255).astype(np.uint8)[None]
                 )[0]})
+            except (ValueError, KeyError, TypeError) as e:
+                # caller error: unknown preprocessor, malformed image
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -365,6 +368,10 @@ class _Handler(BaseHTTPRequestHandler):
             with self.lock:
                 result = inference(self.manager, **kwargs)
             self._json(200, _result_payload(result))
+        except (ValueError, KeyError, TypeError) as e:
+            # caller error: bad parameter combos, unknown model/sampler
+            # names (the KeyError message lists the valid options)
+            self._json(400, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:  # noqa: BLE001 - report to client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -567,3 +567,151 @@ def unet_apply(
     if collect_heatmaps:
         return out, heatmaps
     return out
+
+
+def deepcache_shape(cfg: UNetConfig, batch: int, lat_h: int,
+                    lat_w: int) -> Tuple[int, int, int, int]:
+    """Shape of the deep-feature cache: the next-to-last up block's output
+    (back at full latent resolution, level-1 channel width)."""
+    return (batch, lat_h, lat_w, cfg.block_out_channels[1])
+
+
+def unet_apply_deepcache(
+    params: Dict[str, Any],
+    cfg: UNetConfig,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    cond: UNetCond,
+    cache: jnp.ndarray,  # deepcache_shape(...); zeros before the 1st step
+    use_cache,  # traced scalar; >0.5 reuses `cache`, else recomputes it
+    attn_impl: str = "xla",
+    freeu: Optional[FreeUParams] = None,
+    axis_name: Optional[str] = None,
+    conv_impl: Optional[str] = None,
+):
+    """UNet forward with a DeepCache-style deep/shallow split.
+
+    The network is cut between the level-0 down block and everything
+    deeper: ``deep`` = down blocks 1.., mid, and all up blocks except the
+    last — the branch whose features change slowly across adjacent solver
+    steps (DeepCache, Ma et al. 2024; PAPERS.md). On a reuse step
+    (``use_cache`` set) the deep branch is skipped entirely and its output
+    is taken from ``cache``; the shallow layers (conv_in, down block 0,
+    the final up block, conv_out) always run with the current latents and
+    timestep. Returns ``(out, new_cache)``.
+
+    The split reproduces :func:`unet_apply`'s skip bookkeeping exactly:
+    the final up block consumes the level-0 skips
+    ``[conv_in, d0_res...]`` and the deep branch consumes every deeper
+    skip internally, so ``use_cache=0`` matches ``unet_apply`` to fusion
+    tolerance. Conditioning that injects into the deep branch between
+    full steps cannot be cached consistently — ControlNet / T2I-Adapter
+    residuals are rejected; context/region/IP attention conditioning
+    flows through both branches (frozen inside ``cache`` between full
+    steps, like every other deep feature).
+
+    No reference counterpart (the reference always runs the full UNet);
+    an opt-in acceleration mode, excluded from headline benchmarks.
+    """
+    if cond.controlnet_down is not None or cond.t2i_residuals is not None:
+        raise ValueError(
+            "deepcache does not support ControlNet/T2I-Adapter residuals "
+            "(they inject into the cached deep branch)"
+        )
+    groups, eps_ = cfg.norm_num_groups, cfg.norm_eps
+    conv_impl = "xla" if conv_impl is None else conv_impl
+
+    temb = timestep_embedding(
+        timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+        cfg.freq_shift
+    )
+    temb = linear(params["time_embedding"]["linear_1"],
+                  temb.astype(sample.dtype))
+    temb = linear(params["time_embedding"]["linear_2"], silu(temb))
+
+    h = conv2d(params["conv_in"], sample)
+    skips = [h]
+
+    block0 = params["down_blocks"][0]
+    for j in range(len(block0["resnets"])):
+        h = _resnet_apply(block0["resnets"][j], h, temb, groups, eps_,
+                          conv_impl)
+        if block0["attentions"]:
+            h = _transformer_apply(block0["attentions"][j], cfg, h, cond,
+                                   0, cfg.heads_at(0), attn_impl, None,
+                                   axis_name=axis_name)
+        skips.append(h)
+    h_ds = conv2d(block0["downsample"], h, stride=2)
+
+    def deep_fn(h_in):
+        hh = h_in
+        dskips = [h_in]
+        for level in range(1, cfg.num_levels):
+            block = params["down_blocks"][level]
+            for j in range(len(block["resnets"])):
+                hh = _resnet_apply(block["resnets"][j], hh, temb, groups,
+                                   eps_, conv_impl)
+                if block["attentions"]:
+                    hh = _transformer_apply(
+                        block["attentions"][j], cfg, hh, cond, level,
+                        cfg.heads_at(level), attn_impl, None,
+                        axis_name=axis_name)
+                dskips.append(hh)
+            if "downsample" in block:
+                hh = conv2d(block["downsample"], hh, stride=2)
+                dskips.append(hh)
+
+        mid = params["mid_block"]
+        hh = _resnet_apply(mid["resnet1"], hh, temb, groups, eps_, conv_impl)
+        hh = _transformer_apply(mid["attention"], cfg, hh, cond,
+                                cfg.num_levels - 1,
+                                cfg.heads_at(cfg.num_levels - 1), attn_impl,
+                                None, axis_name=axis_name)
+        hh = _resnet_apply(mid["resnet2"], hh, temb, groups, eps_, conv_impl)
+
+        for i, block in enumerate(params["up_blocks"][:-1]):
+            level = cfg.num_levels - 1 - i
+            for j in range(len(block["resnets"])):
+                skip = dskips.pop()
+                if freeu is not None and i in (0, 1):
+                    b_scale = freeu.b1 if i == 0 else freeu.b2
+                    s_scale = freeu.s1 if i == 0 else freeu.s2
+                    c_half = hh.shape[-1] // 2
+                    hh = hh.at[..., :c_half].multiply(b_scale)
+                    skip = _freeu_filter(skip, s_scale)
+                hh = jnp.concatenate([hh, skip], axis=-1)
+                hh = _resnet_apply(block["resnets"][j], hh, temb, groups,
+                                   eps_, conv_impl)
+                if block["attentions"]:
+                    hh = _transformer_apply(
+                        block["attentions"][j], cfg, hh, cond, level,
+                        cfg.heads_at(level), attn_impl, None,
+                        axis_name=axis_name)
+            if "upsample" in block:
+                b, sh, sw, c = hh.shape
+                hh = jax.image.resize(hh, (b, sh * 2, sw * 2, c), "nearest")
+                hh = conv2d(block["upsample"], hh)
+        assert not dskips
+        return hh
+
+    new_cache = jax.lax.cond(
+        use_cache > 0.5, lambda op: cache, deep_fn, h_ds
+    )
+
+    h = new_cache
+    block = params["up_blocks"][-1]
+    for j in range(len(block["resnets"])):
+        skip = skips.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
+                          conv_impl)
+        if block["attentions"]:
+            h = _transformer_apply(block["attentions"][j], cfg, h, cond,
+                                   0, cfg.heads_at(0), attn_impl, None,
+                                   axis_name=axis_name)
+    assert not skips
+
+    h = group_norm(params["conv_norm_out"], h, groups, eps_)
+    h = silu(h)
+    out = conv2d(params["conv_out"], h)
+    return out, new_cache

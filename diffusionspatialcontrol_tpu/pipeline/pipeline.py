@@ -36,7 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GenerationConfig, ModelConfig
-from ..models.unet import RegionState, UNetCond, unet_apply
+from ..models.unet import (
+    RegionState,
+    UNetCond,
+    deepcache_shape,
+    unet_apply,
+    unet_apply_deepcache,
+)
 from ..models.vae import vae_decode, vae_encode
 from ..samplers import brownian, schedules, solvers
 
@@ -409,6 +415,124 @@ def make_denoise_fn(
     return denoise
 
 
+def make_denoise_cached_fn(
+    params: Dict[str, Any],
+    model_cfg: ModelConfig,
+    context: jnp.ndarray,
+    region_biases: Optional[Tuple[jnp.ndarray, ...]],
+    log_sigma_table: jnp.ndarray,
+    guidance_scale: float,
+    guidance_rescale: float = 0.0,
+    attn_impl: str = "xla",
+    compute_dtype=jnp.bfloat16,
+    extras: Optional[DenoiseExtras] = None,
+    axis_name: Optional[str] = None,
+    conv_impl: Optional[str] = None,
+):
+    """DeepCache variant of :func:`make_denoise_fn`: the returned
+    ``denoise_c(x, sigma, cache, use_cache) -> (denoised, cache)`` threads
+    the UNet's deep-branch feature cache (models/unet.py
+    unet_apply_deepcache) through the solver scan. Same CFG interleave,
+    sigma-space wrap, v-prediction and guidance_rescale math as the plain
+    denoiser; ControlNet / T2I-Adapter extras are rejected (they inject
+    into the cached branch)."""
+    do_cfg = guidance_scale > 1.0
+    ex = extras or DenoiseExtras()
+    if ex.controlnet_params is not None or ex.t2i_residuals is not None:
+        raise ValueError(
+            "deepcache does not support ControlNet/T2I-Adapter units"
+        )
+    context = context.astype(compute_dtype)
+    if ex.ip_tokens is not None:
+        ex = dataclasses.replace(
+            ex, ip_tokens=tuple(t.astype(compute_dtype) for t in ex.ip_tokens)
+        )
+    if do_cfg:
+        cfg_batch = context.shape[0]
+        context = _interleave_cfg(context)
+        if region_biases is not None:
+            region_biases = tuple(_interleave_cfg(b) for b in region_biases)
+
+        def _maybe(a):
+            return (
+                _interleave_cfg(a)
+                if a is not None and a.shape[0] == cfg_batch
+                else a
+            )
+
+        ex = dataclasses.replace(
+            ex,
+            ip_tokens=(
+                None if ex.ip_tokens is None
+                else tuple(_maybe(t) for t in ex.ip_tokens)
+            ),
+            ip_masks=(
+                None if ex.ip_masks is None
+                else tuple(_maybe(m) for m in ex.ip_masks)
+            ),
+            extra_channels=_maybe(ex.extra_channels),
+        )
+
+    def denoise_c(x, sigma, cache, use_cache):
+        if ex.inpaint_mask is not None:
+            m = ex.inpaint_mask
+            proper = ex.inpaint_image_latents + sigma * ex.inpaint_noise
+            x = m * x + (1.0 - m) * proper
+
+        if do_cfg:
+            x_in = jnp.stack([x, x], axis=1).reshape((-1,) + x.shape[1:])
+        else:
+            x_in = x
+        c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        t = _sigma_to_t(sigma, log_sigma_table)
+        t_b = jnp.full((x_in.shape[0],), t, jnp.float32)
+
+        model_in = (x_in * c_in).astype(compute_dtype)
+        if ex.extra_channels is not None:
+            model_in = jnp.concatenate(
+                [model_in, ex.extra_channels.astype(compute_dtype)], axis=-1
+            )
+
+        region = None
+        if region_biases is not None:
+            region = RegionState(region_biases, sigma)
+
+        cond = UNetCond(
+            context=context,
+            region=region,
+            ip_tokens=ex.ip_tokens,
+            ip_scales=ex.ip_scales,
+            ip_masks=ex.ip_masks,
+        )
+
+        out, cache = unet_apply_deepcache(
+            params["unet"], model_cfg.unet, model_in, t_b, cond, cache,
+            use_cache, attn_impl=attn_impl, axis_name=axis_name,
+            conv_impl=conv_impl,
+        )
+        out = out.astype(jnp.float32)
+
+        if model_cfg.prediction_type == "v_prediction":
+            c_skip = 1.0 / (sigma**2 + 1.0)
+            c_out = -sigma / jnp.sqrt(sigma**2 + 1.0)
+            denoised = out * c_out + x_in * c_skip
+        else:
+            denoised = x_in - out * sigma
+
+        if do_cfg:
+            pair = denoised.reshape(
+                (x.shape[0], 2) + denoised.shape[1:]
+            )
+            d_u, d_c = pair[:, 0], pair[:, 1]
+            mixed = d_u + guidance_scale * (d_c - d_u)
+            if guidance_rescale > 0.0:
+                mixed = rescale_noise_cfg(mixed, d_c, guidance_rescale)
+            return mixed, cache
+        return denoised, cache
+
+    return denoise_c
+
+
 # ---------------------------------------------------------------------------
 # Jitted sampling core (cached per static config)
 # ---------------------------------------------------------------------------
@@ -526,6 +650,68 @@ def _sample_chunk(
         carry_in=carry, segment=(start, segment_size), return_carry=True,
         **dict(solver_opts),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "solver_name", "sigmas_key", "guidance_scale",
+        "guidance_rescale", "attn_impl", "conv_impl", "cache_interval",
+        "decode", "compute_dtype", "uint8_output",
+    ),
+)
+def _sample_deepcache_core(
+    params,
+    latents,
+    context,
+    region_biases,
+    extras,
+    *,
+    model_cfg: ModelConfig,
+    solver_name: str,
+    sigmas_key: Tuple[float, ...],
+    guidance_scale: float,
+    guidance_rescale: float,
+    attn_impl: str,
+    cache_interval: int,
+    decode: bool,
+    conv_impl: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+    uint8_output: bool = False,
+):
+    """DeepCache sampling program: every ``cache_interval``-th step runs
+    the full UNet and refreshes the deep-feature cache; the steps between
+    reuse it and run only the shallow layers (models/unet.py
+    unet_apply_deepcache). Step 0 is always a full step. One compiled
+    program — the caching schedule is a static per-step flag in the scan
+    inputs, the reuse/recompute choice a lax.cond on it."""
+    sigmas = np.asarray(sigmas_key, np.float64)
+    table = schedules.ddpm_sigma_table(model_cfg)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+
+    denoise_c = make_denoise_cached_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras, conv_impl=conv_impl,
+    )
+    n = solvers.scan_length(solver_name, sigmas)
+    use_cache = (np.arange(n) % int(cache_interval) != 0).astype(np.float64)
+    b_in = latents.shape[0] * (2 if guidance_scale > 1.0 else 1)
+    cache0 = jnp.zeros(
+        deepcache_shape(model_cfg.unet, b_in, latents.shape[1],
+                        latents.shape[2]),
+        compute_dtype,
+    )
+    solver_fn = solvers.DEEPCACHE_SOLVERS[solver_name]
+    x = solver_fn(denoise_c, latents, sigmas, cache0, use_cache)
+    if decode:
+        ci = attn_impl if conv_impl is None else conv_impl
+        x = vae_decode(params["vae"], model_cfg.vae, x, conv_impl=ci)
+        if uint8_output:
+            x = jnp.round(
+                jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -914,6 +1100,54 @@ class StableDiffusionTPU:
         return self.sample_chunked(
             ctx2, gen2, seed=seed, region_biases=rb2, batch_size=batch_size,
             extras=ex2, chunk_steps=n_total, resume=pause, decode=decode,
+            uint8_output=uint8_output,
+        )
+
+    def txt2img_deepcache(
+        self,
+        context: jnp.ndarray,
+        gen: GenerationConfig,
+        cache_interval: int = 3,
+        seed=0,
+        region_biases=None,
+        batch_size: int = 1,
+        extras: Optional[DenoiseExtras] = None,
+        decode: bool = True,
+        uint8_output: bool = False,
+    ):
+        """txt2img with DeepCache-style deep-branch feature reuse: every
+        ``cache_interval``-th solver step runs the full UNet; the steps
+        between reuse the cached deep features and run only the shallow
+        layers (models/unet.py unet_apply_deepcache). Opt-in acceleration
+        mode with no reference counterpart (the reference always runs the
+        full UNet every step); ``cache_interval=1`` runs every step full
+        and matches :meth:`txt2img` to fusion tolerance. Deterministic
+        solvers only (euler / dpmpp_2m); ControlNet / T2I-Adapter units
+        are rejected (they inject into the cached branch)."""
+        if gen.sampler not in solvers.DEEPCACHE_SOLVERS:
+            raise ValueError(
+                f"deepcache supports {sorted(solvers.DEEPCACHE_SOLVERS)}, "
+                f"not {gen.sampler!r}"
+            )
+        sigmas, _ = self._schedule(gen)
+        if _is_seed_list(seed):
+            batch_size = len(seed)
+        k_lat, _ = _seed_fold_keys(seed, 2)  # same init stream as txt2img
+        shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+        latents = _keyed_normal(k_lat, shape)
+        latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
+        return _sample_deepcache_core(
+            self.params, latents, context, region_biases, extras,
+            model_cfg=self.model_cfg,
+            solver_name=gen.sampler,
+            sigmas_key=tuple(float(v) for v in sigmas),
+            guidance_scale=gen.guidance_scale,
+            guidance_rescale=gen.guidance_rescale,
+            attn_impl=self.attn_impl,
+            cache_interval=int(cache_interval),
+            decode=decode,
+            conv_impl=self.conv_impl,
+            compute_dtype=gen.dtype,
             uint8_output=uint8_output,
         )
 

@@ -463,6 +463,72 @@ def sample_dpmpp_2m(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
     return _seg_result(x, carry, hist, return_history, return_carry)
 
 
+# ---------------------------------------------------------------------------
+# DeepCache-aware variants (stateful denoiser threaded through the carry)
+# ---------------------------------------------------------------------------
+#
+# ``denoise_c(x, sigma, cache, use_cache) -> (denoised, cache)`` threads an
+# opaque model-side cache (the UNet's deep-branch features — see
+# models/unet.py unet_apply_deepcache) through the solver scan;
+# ``use_cache`` is a per-step flag from the static caching schedule. The
+# update recurrences are line-for-line those of the uncached twins above —
+# only the carry grows by the cache leaf. Opt-in acceleration mode with no
+# reference counterpart.
+
+
+def sample_euler_deepcache(denoise_c, x, sigmas: np.ndarray, cache0,
+                           use_cache: np.ndarray, **_):
+    xs = (_f32(sigmas[:-1]), _f32(sigmas[1:]), _f32(use_cache))
+
+    def body(carry, s):
+        x, cache = carry
+        sigma, sigma_next, use_c = s
+        denoised, cache = denoise_c(x, sigma, cache, use_c)
+        d = to_d(x, sigma, denoised)
+        x = x + d * (sigma_next - sigma)
+        return (x, cache), None
+
+    (x, _), _ = jax.lax.scan(body, (x, cache0), xs)
+    return x
+
+
+def sample_dpmpp_2m_deepcache(denoise_c, x, sigmas: np.ndarray, cache0,
+                              use_cache: np.ndarray, **_):
+    n = len(sigmas) - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -np.log(np.maximum(sig, 1e-20))
+        t_next = -np.log(np.maximum(sig_next, 1e-20))
+    h = t_next - t
+    h_last = np.concatenate([[1.0], h[:-1]])
+    r = h_last / np.where(h == 0, 1.0, h)
+    use_plain = np.zeros(n, bool)
+    use_plain[0] = True
+    use_plain |= sig_next == 0
+    expm1_term = np.where(sig_next == 0, -1.0, np.expm1(-h))
+    ratio = sig_next / sig
+    xs = (_f32(ratio), _f32(expm1_term), _f32(r), jnp.asarray(use_plain),
+          _f32(sig), _f32(use_cache))
+
+    def body(carry, s):
+        x, old_denoised, cache = carry
+        ratio, em1, r, plain, sigma, use_c = s
+        denoised, cache = denoise_c(x, sigma, cache, use_c)
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+        d_use = jnp.where(plain, denoised, denoised_d)
+        x = ratio * x - em1 * d_use
+        return (x, denoised, cache), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x), cache0), xs)
+    return x
+
+
+DEEPCACHE_SOLVERS = {
+    "euler": sample_euler_deepcache,
+    "dpmpp_2m": sample_dpmpp_2m_deepcache,
+}
+
+
 def sample_dpmpp_sde(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
                  return_history=False, noise=None,
                      eta=1.0, s_noise=1.0, r=0.5, carry_in=None, segment=None,

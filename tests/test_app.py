@@ -799,6 +799,29 @@ def test_inference_cfg_tail_frac(manager):
                   latent_preview=True, **kwargs)
 
 
+def test_inference_deepcache_interval(manager):
+    """deepcache_interval: every N-th step runs the full UNet, the rest
+    reuse the cached deep-branch features. interval<=1 is the plain path;
+    >1 returns valid images; unsupported combos raise."""
+    kwargs = dict(
+        model="tiny", sampler="Euler Karras", steps=4, width=64, height=64,
+        seed=11, encoding_mode="short", dtype=jnp.float32,
+    )
+    base = inference(manager, prompt="a red cat", **kwargs)
+    fast = inference(manager, prompt="a red cat", deepcache_interval=2,
+                     **kwargs)
+    assert fast["images"].shape == base["images"].shape
+    assert fast["images"].dtype == np.uint8
+    assert np.any(fast["images"] != base["images"])  # reuse steps differ
+
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", deepcache_interval=2,
+                  hires_scale=2.0, **kwargs)
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", deepcache_interval=2,
+                  cfg_tail_frac=0.5, **kwargs)
+
+
 def test_http_job_queue(manager):
     """Async job API: submit -> poll -> done matches the synchronous
     /generate result for the same seed; queued jobs can be cancelled;
