@@ -463,19 +463,22 @@ def _kernel_v2(xa_ref, xb_blk_ref, scale_ref, bias_ref, w_ref, cb_ref,
     y = g // wp2
     xcol = g - y * wp2
     interior = (y >= 1) & (y <= h) & (xcol >= 1) & (xcol <= w)
-    act = jnp.where(interior, act, 0.0).astype(xa_ref.dtype)
+    act = jnp.where(interior, act, 0.0)  # fp32: Mosaic rotate is 32-bit-only
 
     from jax.experimental.pallas import tpu as pltpu
 
     rq = m_t + 2 * wp2
+    dt = xa_ref.dtype
     # act[d:rq+d] as explicit sublane rotations: a plain shifted slice
     # carries a non-zero sublane offset in its Mosaic layout, and
     # tpu.concatenate on the LANE dim rejects operands whose sublane
     # offsets differ ("offset mismatch on non-concat dimension").
-    # pltpu.roll re-materializes each copy at offset 0; the wrapped-around
-    # tail rows land past rq and are sliced away.
-    shifts = [act[:rq]] + [
-        pltpu.roll(act, rows - d, 0)[:rq] for d in (1, 2)
+    # pltpu.roll re-materializes each copy at offset 0 (on the fp32 value —
+    # "Rotate with non-32-bit data" is unimplemented); the wrapped-around
+    # tail rows land past rq and are sliced away. Casts to the compute
+    # dtype happen per copy, after the roll.
+    shifts = [act[:rq].astype(dt)] + [
+        pltpu.roll(act, rows - d, 0)[:rq].astype(dt) for d in (1, 2)
     ]
     q = jnp.concatenate(shifts, axis=1)
     acc = None
