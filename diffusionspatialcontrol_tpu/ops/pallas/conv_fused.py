@@ -477,18 +477,46 @@ def _kernel_v2(xa_ref, xb_blk_ref, scale_ref, bias_ref, w_ref, cb_ref,
     # "Rotate with non-32-bit data" is unimplemented); the wrapped-around
     # tail rows land past rq and are sliced away. Casts to the compute
     # dtype happen per copy, after the roll.
-    shifts = [act[:rq].astype(dt)] + [
-        pltpu.roll(act, rows - d, 0)[:rq].astype(dt) for d in (1, 2)
-    ]
-    q = jnp.concatenate(shifts, axis=1)
-    acc = None
-    for dy in range(3):
-        p = jax.lax.dot_general(
-            q[dy * wp2: dy * wp2 + m_t], w_ref[0, dy],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = p if acc is None else acc + p
+    # Mosaic-workaround variants, selectable for TPU compile probes
+    # (benchmarks/probe_v2_kernel.py). "cast" is the default formulation;
+    # "barrier" pins each rolled+cast copy behind an optimization_barrier
+    # so the cast cannot fold back into a lazy offset layout; "split"
+    # avoids the lane concatenate entirely — one MXU dot per (dy, dx) tap
+    # on each rolled copy (9 dots of K=C_in_t instead of 3 of K=3*C_in_t).
+    import os as _os
+
+    variant = _os.environ.get("CONV_V2_VARIANT", "cast")
+    if variant == "split":
+        copies = [act[:rq]] + [
+            pltpu.roll(act, rows - d, 0)[:rq] for d in (1, 2)
+        ]
+        c_in_t = act.shape[-1]
+        acc = None
+        for dx, cp in enumerate(copies):
+            cpb = cp.astype(dt)
+            for dy in range(3):
+                p = jax.lax.dot_general(
+                    cpb[dy * wp2: dy * wp2 + m_t],
+                    w_ref[0, dy, dx * c_in_t:(dx + 1) * c_in_t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = p if acc is None else acc + p
+    else:
+        shifts = [act[:rq].astype(dt)] + [
+            pltpu.roll(act, rows - d, 0)[:rq].astype(dt) for d in (1, 2)
+        ]
+        if variant == "barrier":
+            shifts = list(jax.lax.optimization_barrier(tuple(shifts)))
+        q = jnp.concatenate(shifts, axis=1)
+        acc = None
+        for dy in range(3):
+            p = jax.lax.dot_general(
+                q[dy * wp2: dy * wp2 + m_t], w_ref[0, dy],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
     acc_ref[:] += acc
 
     @pl.when(k_idx == n_k - 1)

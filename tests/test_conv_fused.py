@@ -140,6 +140,21 @@ def test_fused_conv_v2_nonsquare_odd_dims_multirow():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("variant", ["barrier", "split"])
+def test_fused_conv_v2_mosaic_workaround_variants(variant, monkeypatch):
+    """The env-selected Mosaic-workaround formulations (optimization
+    barrier on the cast copies; concat-free per-tap dots) compute the
+    same conv as the default "cast" path."""
+    monkeypatch.setenv("CONV_V2_VARIANT", variant)
+    x, gn, cv, temb, skip = _setup(b=1, h=12, w=10, c_in=32, c_out=48)
+    ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=8)))
+           + temb[:, None, None, :] + skip)
+    s, b = fold_group_norm(gn, x, num_groups=8)
+    got = gn_silu_conv3x3_v2(x, s, b, cv["kernel"], cv["bias"],
+                             channel_bias=temb, skip=skip, block_rows=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
 def test_fused_conv_v2_cin_chunked():
     # C_in=640 pads to 640, which only the 128-wide chunk divides → 5
     # contraction chunks: exercises the cross-chunk accumulator
