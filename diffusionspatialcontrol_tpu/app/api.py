@@ -605,6 +605,7 @@ def inference(
     cancel_check_steps: Optional[int] = None,
     cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
     deepcache_interval: int = 0,  # >1: reuse deep UNet features N-1 of N steps
+    bottleneck_low_scale: float = 0.0,  # in (0,1): middle steps at this scale
     progress_cb=None,  # fn(steps_done, steps_total); may raise to cancel.
     # Only ticks on the chunked path (cancel_check_steps set, plain
     # txt2img) — other paths run as one compiled program with no host
@@ -832,11 +833,13 @@ def inference(
     if grid_prompts is not None:
         from ..parallel.batched import generate_grid
 
-        if (cfg_tail_frac and cfg_tail_frac > 0.0) or (
-                deepcache_interval and deepcache_interval > 1):
+        if ((cfg_tail_frac and cfg_tail_frac > 0.0)
+                or (deepcache_interval and deepcache_interval > 1)
+                or (bottleneck_low_scale
+                    and 0.0 < bottleneck_low_scale < 1.0)):
             raise ValueError(
-                "cfg_tail_frac / deepcache_interval do not combine with "
-                "multi-prompt grid mode"
+                "cfg_tail_frac / deepcache_interval / bottleneck_low_scale "
+                "do not combine with multi-prompt grid mode"
             )
         with timer.phase("sample"):
             out = generate_grid(
@@ -919,6 +922,32 @@ def inference(
                 chunk_steps=cancel_check_steps,
                 on_chunk=_tick,
                 uint8_output=True,
+            )
+        elif bottleneck_low_scale and 0.0 < bottleneck_low_scale < 1.0:
+            # Optional acceleration: bottleneck sampling (resolution
+            # scheduling) — the middle of the solver schedule runs at
+            # bottleneck_low_scale of the latent size with denoised-
+            # estimate re-noising at the boundaries (pipeline
+            # txt2img_bottleneck). No reference counterpart; excluded
+            # from headline benchmarks.
+            if hires is not None or latent_preview:
+                raise ValueError(
+                    "bottleneck_low_scale does not combine with hires or "
+                    "latent_preview"
+                )
+            if (cfg_tail_frac and cfg_tail_frac > 0.0) or (
+                    deepcache_interval and deepcache_interval > 1):
+                raise ValueError(
+                    "bottleneck_low_scale does not combine with "
+                    "cfg_tail_frac or deepcache_interval"
+                )
+            rs = None
+            if region_state:
+                rs = ([region_state], ids, num_images_per_prompt)
+            out = pipe.txt2img_bottleneck(
+                context, gen, low_scale=bottleneck_low_scale, seed=seed,
+                region_biases=None, region_state=rs, batch_size=batch,
+                extras=extras, uint8_output=True,
             )
         elif deepcache_interval and deepcache_interval > 1:
             # Optional acceleration: DeepCache-style deep-branch feature

@@ -88,6 +88,7 @@ def _inference_kwargs(req: dict) -> dict:
             "hires_scale", "hires_strength", "hires_mode",
             "hires_steps", "eta", "cancel_check_steps", "timeout",
             "latent_preview", "cfg_tail_frac", "deepcache_interval",
+            "bottleneck_low_scale",
         )
         if k in req
     }

@@ -714,6 +714,43 @@ def _sample_deepcache_core(
     return x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "sigma", "guidance_scale", "guidance_rescale",
+        "attn_impl", "conv_impl", "compute_dtype",
+    ),
+)
+def _denoise_once(
+    params,
+    x,
+    context,
+    region_biases,
+    extras,
+    *,
+    model_cfg: ModelConfig,
+    sigma: float,
+    guidance_scale: float,
+    guidance_rescale: float,
+    attn_impl: str,
+    conv_impl: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """One CFG-mixed denoised estimate x0_hat(x, sigma) — the same denoiser
+    the solver scans run, evaluated once. Used at the resolution boundaries
+    of :meth:`StableDiffusionTPU.txt2img_bottleneck` to re-noise from the
+    model's prediction instead of resizing the noisy latent directly."""
+    table = schedules.ddpm_sigma_table(model_cfg)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    denoise = make_denoise_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=np.asarray([sigma], np.float64), conv_impl=conv_impl,
+    )
+    return denoise(x, jnp.float32(sigma))
+
+
 # ---------------------------------------------------------------------------
 # User-facing pipeline
 # ---------------------------------------------------------------------------
@@ -1150,6 +1187,120 @@ class StableDiffusionTPU:
             compute_dtype=gen.dtype,
             uint8_output=uint8_output,
         )
+
+    def txt2img_bottleneck(
+        self,
+        context: jnp.ndarray,
+        gen: GenerationConfig,
+        low_scale: float = 0.5,
+        mid_frac: Tuple[float, float] = (0.2, 0.8),
+        seed=0,
+        region_biases=None,
+        region_state=None,  # (states, prompt_ids, nipp): re-encode per res
+        batch_size: int = 1,
+        extras: Optional[DenoiseExtras] = None,
+        decode: bool = True,
+        uint8_output: bool = False,
+    ):
+        """Bottleneck sampling (resolution scheduling — PAPERS.md
+        "Training-free Diffusion Acceleration with Bottleneck Sampling"):
+        the solver runs the first ``mid_frac[0]`` of the schedule at full
+        resolution, the middle at ``low_scale`` of the latent size, and
+        the tail at full resolution again. At each boundary the latent is
+        NOT resized directly — the model's denoised estimate x0_hat is
+        resized and re-noised with fresh noise at the boundary sigma (the
+        noise component of a bilinearly-resized latent is low-passed and
+        under-scaled; re-noising from x0_hat keeps the marginal exact).
+
+        Opt-in acceleration with no reference counterpart; deterministic
+        solvers only (euler / dpmpp_2m — each phase restarts the solver
+        carry, so multistep history does not cross a resolution change).
+        Region control: pass ``region_state`` (same triple as
+        hires["region_state"]) so biases are re-encoded per resolution;
+        resolution-bound extras (ControlNet / T2I / inpaint /
+        extra-channels) are rejected, IP tokens pass through."""
+        if gen.sampler not in solvers.DEEPCACHE_SOLVERS:
+            raise ValueError(
+                f"bottleneck sampling supports "
+                f"{sorted(solvers.DEEPCACHE_SOLVERS)}, not {gen.sampler!r}"
+            )
+        ex = extras or DenoiseExtras()
+        if (ex.controlnet_params is not None or ex.t2i_residuals is not None
+                or ex.inpaint_mask is not None
+                or ex.extra_channels is not None):
+            raise ValueError(
+                "bottleneck sampling does not support resolution-bound "
+                "extras (ControlNet / T2I-Adapter / inpaint)"
+            )
+        if region_biases is not None and region_state is None:
+            raise ValueError(
+                "bottleneck sampling needs region_state (raw states + "
+                "prompt ids) to re-encode biases at the low resolution; "
+                "precomputed region_biases alone cannot serve both sizes"
+            )
+        from ..ops.resize import resize_latents
+
+        sigmas, defaults = self._schedule(gen)
+        opts = tuple(sorted(self._solver_opts(gen, defaults).items()))
+        n = len(sigmas) - 1
+        i1 = max(1, int(round(n * float(mid_frac[0]))))
+        i2 = min(n - 1, int(round(n * float(mid_frac[1]))))
+        if not i1 < i2:
+            raise ValueError(f"mid_frac {mid_frac} leaves no middle phase "
+                             f"for {n} steps")
+        lh, lw = gen.latent_height, gen.latent_width
+        # the UNet downsamples 3x: keep the low-res latent 8-aligned
+        bh = max(8, int(round(lh * float(low_scale) / 8)) * 8)
+        bw = max(8, int(round(lw * float(low_scale) / 8)) * 8)
+
+        if _is_seed_list(seed):
+            batch_size = len(seed)
+        k_lat, _, k_b1, k_b2 = _seed_fold_keys(seed, 4)
+        shape = (batch_size, lh, lw, 4)
+        latents = _keyed_normal(k_lat, shape)
+        latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
+
+        hi_biases = region_biases
+        lo_biases = None
+        if region_state is not None:
+            states, ids, nipp = region_state
+            hi_biases = self.encode_region(
+                states, ids, height=lh * 8, width=lw * 8,
+                num_images_per_prompt=nipp)
+            lo_biases = self.encode_region(
+                states, ids, height=bh * 8, width=bw * 8,
+                num_images_per_prompt=nipp)
+
+        def seg(x, lo, hi, biases, decode_out, uint8_out):
+            return _sample_core(
+                self.params, x, context, biases, None, extras,
+                model_cfg=self.model_cfg, solver_name=gen.sampler,
+                sigmas_key=tuple(float(v) for v in sigmas[lo:hi + 1]),
+                guidance_scale=gen.guidance_scale,
+                guidance_rescale=gen.guidance_rescale,
+                attn_impl=self.attn_impl, solver_opts=opts,
+                decode=decode_out, conv_impl=self.conv_impl,
+                compute_dtype=gen.dtype, uint8_output=uint8_out,
+            )
+
+        def boundary(x, sigma, new_h, new_w, biases, key):
+            x0 = _denoise_once(
+                self.params, x, context, biases, extras,
+                model_cfg=self.model_cfg, sigma=float(sigma),
+                guidance_scale=gen.guidance_scale,
+                guidance_rescale=gen.guidance_rescale,
+                attn_impl=self.attn_impl, conv_impl=self.conv_impl,
+                compute_dtype=gen.dtype,
+            )
+            x0 = resize_latents(x0, new_h, new_w, mode="bilinear")
+            eps = _keyed_normal(key, x0.shape)
+            return x0 + float(sigma) * eps
+
+        x = seg(latents, 0, i1, hi_biases, False, False)
+        x = boundary(x, sigmas[i1], bh, bw, hi_biases, k_b1)
+        x = seg(x, i1, i2, lo_biases, False, False)
+        x = boundary(x, sigmas[i2], lh, lw, lo_biases, k_b2)
+        return seg(x, i2, n, hi_biases, decode, uint8_output)
 
     def txt2img(
         self,

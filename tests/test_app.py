@@ -822,6 +822,26 @@ def test_inference_deepcache_interval(manager):
                   cfg_tail_frac=0.5, **kwargs)
 
 
+def test_inference_bottleneck_low_scale(manager):
+    """bottleneck_low_scale: the middle of the schedule runs at a reduced
+    latent resolution. Returns full-size valid images; unsupported combos
+    raise."""
+    kwargs = dict(
+        model="tiny", sampler="Euler Karras", steps=6, width=128,
+        height=128, seed=11, encoding_mode="short", dtype=jnp.float32,
+    )
+    out = inference(manager, prompt="a red cat",
+                    bottleneck_low_scale=0.5, **kwargs)
+    assert out["images"].shape == (1, 128, 128, 3)
+    assert out["images"].dtype == np.uint8
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", bottleneck_low_scale=0.5,
+                  deepcache_interval=2, **kwargs)
+    with pytest.raises(ValueError):
+        inference(manager, prompt="a red cat", bottleneck_low_scale=0.5,
+                  hires_scale=2.0, **kwargs)
+
+
 def test_http_job_queue(manager):
     """Async job API: submit -> poll -> done matches the synchronous
     /generate result for the same seed; queued jobs can be cancelled;
