@@ -1,11 +1,16 @@
 """Gradio front-end (optional dependency).
 
-A compact Blocks UI over ``app.api.inference`` covering the reference app's
-core interactions (source/app.py:2171-3063): prompt/negative prompt, model
-and sampler dropdowns, steps/CFG/size/seed/clip-skip/encoding mode, the
-region-map editor (comma-separated phrase list -> per-phrase mask upload +
-strength S + anti-strength S', or color-map clustering), img2img with
-strength, hires fix, and the output gallery with timings.
+A Blocks UI over ``app.api.inference`` covering the reference app's
+interactions (source/app.py:2171-3063): prompt/negative prompt, model and
+sampler dropdowns, steps/CFG/size/seed/clip-skip/encoding mode/batch,
+guidance rescale, the region-map editor (comma-separated phrase list ->
+per-phrase mask upload + strength S + anti-strength S', or color-map
+clustering), img2img with strength and an inpaint mask, hires fix with
+upscale-mode selection, multi-unit ControlNet / T2I-Adapter / IP-Adapter
+editors with per-unit preprocessors (reference unit editors:
+app.py:924-997, 654-700, 1021-1096), LoRA / textual-inversion loading
+(app.py:532-597, 759-785), latent preview, and the output gallery with
+timings.
 
 Not importable in environments without gradio (the serving path there is
 app.server's JSON API); kept to long-stable gradio APIs.
@@ -18,8 +23,26 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .. import registry
+from ..ops import preprocess as pp
+from ..ops.resize import UPSCALE_MODES
 from ..utils import region_ui
-from .api import ModelManager, inference
+from .api import ControlNetUnit, IPAdapterUnit, ModelManager, T2IAdapterUnit
+from .api import inference
+
+N_CONTROLNET_UNITS = 2  # reference UI ships a multi-unit editor
+
+_PREPROCESSORS = ("None",) + tuple(
+    sorted((set(pp.NATIVE_PREPROCESSORS)
+            | set(pp.MODEL_BASED_PREPROCESSORS)) - {"None"})
+)
+
+
+def _to_float_list(text: str) -> List[float]:
+    return [float(w) for w in (text or "").split(",") if w.strip()]
+
+
+def _img_or_none(img):
+    return np.asarray(img) if img is not None else None
 
 
 def build_ui(manager: ModelManager):
@@ -31,13 +54,26 @@ def build_ui(manager: ModelManager):
     def parse_phrases(text: str) -> List[str]:
         return [p.strip() for p in (text or "").split(",") if p.strip()]
 
-    def generate(
-        prompt, neg_prompt, model, sampler, steps, cfg_scale, width,
-        height, seed, clip_skip, encoding_mode, phrases_text, mask_files,
-        weights_text, outsides_text, color_map, init_image, strength,
-        hires_scale, hires_strength,
-    ):
-        region_state: Optional[Dict] = None
+    def parse_loras(text: str):
+        """"path" or "path:scale", comma separated (reference LoRA upload +
+        per-file scale, app.py:532-597)."""
+        out = []
+        for item in (text or "").split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if ":" in item and not item.endswith(":"):
+                path, scale = item.rsplit(":", 1)
+                try:
+                    out.append((path.strip(), float(scale)))
+                    continue
+                except ValueError:
+                    pass
+            out.append(item)
+        return out
+
+    def build_region_state(phrases_text, mask_files, weights_text,
+                           outsides_text, color_map) -> Optional[Dict]:
         phrases = parse_phrases(phrases_text)
         masks: List[np.ndarray] = []
         if phrases and color_map is not None:
@@ -50,17 +86,63 @@ def build_ui(manager: ModelManager):
                 if img.ndim == 3:
                     img = img.mean(-1)
                 masks.append(region_ui.mask_from_grayscale_map(img))
-        if phrases and masks:
-            weights = [
-                float(w) for w in (weights_text or "").split(",") if w.strip()
-            ] or None
-            outsides = [
-                float(w) for w in (outsides_text or "").split(",")
-                if w.strip()
-            ] or None
-            region_state = region_ui.build_region_state(
-                phrases[: len(masks)], masks, weights, outsides
-            )
+        if not (phrases and masks):
+            return None
+        return region_ui.build_region_state(
+            phrases[: len(masks)], masks,
+            _to_float_list(weights_text) or None,
+            _to_float_list(outsides_text) or None,
+        )
+
+    def generate(
+        prompt, neg_prompt, model, sampler, steps, cfg_scale, width,
+        height, seed, batch, clip_skip, encoding_mode, guidance_rescale,
+        latent_preview,
+        phrases_text, mask_files, weights_text, outsides_text, color_map,
+        init_image, strength, inpaint_mask,
+        hires_scale, hires_strength, hires_mode, hires_steps,
+        *unit_inputs,
+    ):
+        region_state = build_region_state(
+            phrases_text, mask_files, weights_text, outsides_text, color_map
+        )
+
+        it = iter(unit_inputs)
+        controlnet_units = []
+        for _ in range(N_CONTROLNET_UNITS):
+            (cn_on, cn_model, cn_image, cn_pre, cn_scale, cn_start,
+             cn_end, cn_guess) = (next(it) for _ in range(8))
+            if cn_on and cn_image is not None:
+                controlnet_units.append(ControlNetUnit(
+                    model=cn_model, image=np.asarray(cn_image),
+                    scale=float(cn_scale),
+                    guidance_start=float(cn_start),
+                    guidance_end=float(cn_end), guess_mode=bool(cn_guess),
+                    preprocessor=None if cn_pre == "None" else cn_pre,
+                ))
+        (t2i_on, t2i_model, t2i_image, t2i_pre, t2i_scale,
+         t2i_factor) = (next(it) for _ in range(6))
+        t2i_units = []
+        if t2i_on and t2i_image is not None:
+            t2i_units.append(T2IAdapterUnit(
+                model=t2i_model, image=np.asarray(t2i_image),
+                scale=float(t2i_scale),
+                preprocessor=None if t2i_pre == "None" else t2i_pre,
+                conditioning_factor=float(t2i_factor),
+            ))
+        (ip_on, ip_model, ip_image, ip_scale,
+         ip_mask) = (next(it) for _ in range(5))
+        ip_units = []
+        if ip_on and ip_image is not None:
+            mask = None
+            if ip_mask is not None:
+                m = np.asarray(ip_mask)
+                mask = m.mean(-1) / 255.0 if m.ndim == 3 else m
+            ip_units.append(IPAdapterUnit(
+                model=ip_model, image=np.asarray(ip_image),
+                scale=float(ip_scale), mask=mask,
+            ))
+        loras_text, ti_text = next(it), next(it)
 
         result = inference(
             manager,
@@ -73,19 +155,54 @@ def build_ui(manager: ModelManager):
             width=int(width),
             height=int(height),
             seed=int(seed),
+            num_images_per_prompt=int(batch),
             clip_skip=int(clip_skip),
             encoding_mode=registry.ENCODING_MODES.get(
                 encoding_mode, "a1111"
             ),
+            guidance_rescale=float(guidance_rescale),
             region_state=region_state,
-            init_image=(
-                np.asarray(init_image) if init_image is not None else None
-            ),
+            init_image=_img_or_none(init_image),
             strength=float(strength),
+            inpaint_mask=(
+                None if inpaint_mask is None else
+                region_ui.mask_from_grayscale_map(
+                    np.asarray(inpaint_mask).mean(-1)
+                    if np.asarray(inpaint_mask).ndim == 3
+                    else np.asarray(inpaint_mask))
+            ),
             hires_scale=float(hires_scale or 0.0),
             hires_strength=float(hires_strength),
+            hires_mode=hires_mode,
+            hires_steps=int(hires_steps) if hires_steps else None,
+            controlnet_units=controlnet_units,
+            t2i_units=t2i_units,
+            ip_adapter_units=ip_units,
+            loras=parse_loras(loras_text),
+            ti_embeddings=parse_phrases(ti_text),
+            latent_preview=bool(latent_preview),
         )
-        return [img for img in result["images"]], result["timings"]
+        previews = [p for p in result.get("previews", [])]
+        return ([img for img in result["images"]], previews,
+                result["timings"])
+
+    def _controlnet_unit(gr, i: int):
+        with gr.Accordion(f"ControlNet unit {i + 1}", open=False):
+            on = gr.Checkbox(label="Enable", value=False)
+            model = gr.Dropdown(
+                sorted(registry.CONTROLNET_MODELS), label="Model",
+                value="Canny",
+            )
+            image = gr.Image(label="Conditioning image")
+            pre = gr.Dropdown(_PREPROCESSORS, value="None",
+                              label="Preprocessor")
+            scale = gr.Slider(0.0, 2.0, value=1.0, label="Scale")
+            with gr.Row():
+                start = gr.Slider(0.0, 1.0, value=0.0,
+                                  label="Guidance start")
+                end = gr.Slider(0.0, 1.0, value=1.0, label="Guidance end")
+            guess = gr.Checkbox(label="Guess mode", value=False)
+        return [on, model, image, pre, scale, start, end, guess]
 
     with gr.Blocks(title="DiffusionSpatialControl-TPU") as demo:
         gr.Markdown("## DiffusionSpatialControl-TPU")
@@ -109,6 +226,8 @@ def build_ui(manager: ModelManager):
                                       label="Steps")
                     cfg_scale = gr.Slider(1.0, 20.0, value=7.5,
                                           label="CFG scale")
+                    guidance_rescale = gr.Slider(
+                        0.0, 1.0, value=0.0, label="Guidance rescale")
                 with gr.Row():
                     width = gr.Slider(256, 1920, value=512, step=64,
                                       label="Width")
@@ -116,6 +235,8 @@ def build_ui(manager: ModelManager):
                                        label="Height")
                 with gr.Row():
                     seed = gr.Number(value=0, label="Seed", precision=0)
+                    batch = gr.Slider(1, 8, value=1, step=1,
+                                      label="Images per prompt")
                     clip_skip = gr.Slider(1, 4, value=2, step=1,
                                           label="Clip skip")
                     encoding_mode = gr.Dropdown(
@@ -123,6 +244,8 @@ def build_ui(manager: ModelManager):
                         value="Automatic111 Encoding",
                         label="Prompt encoding",
                     )
+                latent_preview = gr.Checkbox(
+                    label="Latent preview (per-step gallery)", value=False)
                 with gr.Accordion("Region control", open=False):
                     phrases_text = gr.Textbox(
                         label="Controlled phrases (comma separated)"
@@ -138,28 +261,76 @@ def build_ui(manager: ModelManager):
                     outsides_text = gr.Textbox(
                         label="Anti-strengths S' (comma separated)", value=""
                     )
-                with gr.Accordion("img2img", open=False):
+                with gr.Accordion("img2img / inpaint", open=False):
                     init_image = gr.Image(label="Init image")
                     strength = gr.Slider(0.0, 1.0, value=0.8,
                                          label="Denoising strength")
+                    inpaint_mask = gr.Image(
+                        label="Inpaint mask (white = regenerate)")
                 with gr.Accordion("Hires fix", open=False):
                     hires_scale = gr.Slider(0.0, 4.0, value=0.0,
                                             label="Upscale (0 = off)")
                     hires_strength = gr.Slider(0.0, 1.0, value=0.6,
                                                label="Hires strength")
+                    hires_mode = gr.Dropdown(
+                        list(UPSCALE_MODES), label="Upscale mode",
+                        value=UPSCALE_MODES[0],
+                    )
+                    hires_steps = gr.Number(
+                        value=0, precision=0,
+                        label="Hires steps (0 = same as base)")
+                unit_inputs: List = []
+                for i in range(N_CONTROLNET_UNITS):
+                    unit_inputs += _controlnet_unit(gr, i)
+                with gr.Accordion("T2I-Adapter", open=False):
+                    t2i_on = gr.Checkbox(label="Enable", value=False)
+                    t2i_model = gr.Dropdown(
+                        sorted(registry.T2I_ADAPTER_MODELS), label="Model",
+                        value="Canny",
+                    )
+                    t2i_image = gr.Image(label="Conditioning image")
+                    t2i_pre = gr.Dropdown(_PREPROCESSORS, value="None",
+                                          label="Preprocessor")
+                    t2i_scale = gr.Slider(0.0, 2.0, value=1.0,
+                                          label="Scale")
+                    t2i_factor = gr.Slider(
+                        0.0, 1.0, value=1.0, label="Conditioning factor")
+                unit_inputs += [t2i_on, t2i_model, t2i_image, t2i_pre,
+                                t2i_scale, t2i_factor]
+                with gr.Accordion("IP-Adapter", open=False):
+                    ip_on = gr.Checkbox(label="Enable", value=False)
+                    ip_model = gr.Dropdown(
+                        sorted(registry.IP_ADAPTER_MODELS),
+                        label="Variant", value="IP-Adapter",
+                    )
+                    ip_image = gr.Image(label="Reference image")
+                    ip_scale = gr.Slider(0.0, 2.0, value=1.0, label="Scale")
+                    ip_mask = gr.Image(label="Spatial mask (optional)")
+                unit_inputs += [ip_on, ip_model, ip_image, ip_scale, ip_mask]
+                with gr.Accordion("LoRA / Textual inversion", open=False):
+                    loras_text = gr.Textbox(
+                        label="LoRA files (path or path:scale, comma "
+                              "separated)")
+                    ti_text = gr.Textbox(
+                        label="Textual-inversion embedding files (comma "
+                              "separated)")
+                unit_inputs += [loras_text, ti_text]
                 btn = gr.Button("Generate", variant="primary")
             with gr.Column():
                 gallery = gr.Gallery(label="Output")
+                preview_gallery = gr.Gallery(label="Latent previews")
                 timings = gr.Textbox(label="Timings", interactive=False)
 
         btn.click(
             generate,
             inputs=[prompt, neg_prompt, model, sampler, steps, cfg_scale,
-                    width, height, seed, clip_skip, encoding_mode,
+                    width, height, seed, batch, clip_skip, encoding_mode,
+                    guidance_rescale, latent_preview,
                     phrases_text, mask_files, weights_text, outsides_text,
-                    color_map, init_image, strength, hires_scale,
-                    hires_strength],
-            outputs=[gallery, timings],
+                    color_map, init_image, strength, inpaint_mask,
+                    hires_scale, hires_strength, hires_mode, hires_steps]
+                   + unit_inputs,
+            outputs=[gallery, preview_gallery, timings],
         )
     return demo
 
