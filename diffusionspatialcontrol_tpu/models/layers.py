@@ -68,16 +68,21 @@ def conv_init(key, in_channels: int, out_channels: int, kernel_size: int = 3,
     return {"kernel": kernel, "bias": jnp.zeros((out_channels,), dtype)}
 
 
-def conv2d(p, x, stride: int = 1, padding="SAME"):
+def conv2d(p, x, stride: int = 1, padding="SAME", preferred=jnp.float32):
+    """NHWC conv. ``preferred`` sets the requested output/accumulation
+    element type (MXU accumulation is fp32 internally either way; None =
+    keep the input dtype, which skips the fp32 epilogue round-trip — the
+    ``conv_impl="xla_bf16"`` A/B variant, benchmarks/ab_conv_dtype.py)."""
+    pref = x.dtype if preferred is None else preferred
     y = lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
     )
-    y = y + p["bias"].astype(jnp.float32)
+    y = y + p["bias"].astype(pref)
     return y.astype(x.dtype)
 
 

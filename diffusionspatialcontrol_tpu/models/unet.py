@@ -310,15 +310,19 @@ def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla"):
             )
         except ValueError:
             pass
+    # "xla_bf16": request the conv output in the compute dtype instead of
+    # fp32 — one extra rounding before the (fp32-stats) GroupNorm, same as
+    # the reference's fp16 autocast behavior. A/B: benchmarks/ab_conv_dtype.
+    pref = None if conv_impl == "xla_bf16" else jnp.float32
     h = group_norm(p["norm1"], x, groups, eps)
     h = silu(h)
-    h = conv2d(p["conv1"], h)
+    h = conv2d(p["conv1"], h, preferred=pref)
     h = h + t[:, None, None, :].astype(h.dtype)
     h = group_norm(p["norm2"], h, groups, eps)
     h = silu(h)
-    h = conv2d(p["conv2"], h)
+    h = conv2d(p["conv2"], h, preferred=pref)
     if "conv_shortcut" in p:
-        x = conv2d(p["conv_shortcut"], x, padding="VALID")
+        x = conv2d(p["conv_shortcut"], x, padding="VALID", preferred=pref)
     return x + h
 
 

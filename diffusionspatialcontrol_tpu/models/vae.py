@@ -57,12 +57,15 @@ def _resnet_apply(p, x, groups, conv_impl: str = "xla"):
                 h.dtype), p["conv2"]["bias"], skip=sc)
         except ValueError:
             pass
+    # "xla_bf16": conv output in the compute dtype instead of fp32 (one
+    # extra rounding before the fp32-stats GN; benchmarks/ab_conv_dtype).
+    pref = None if conv_impl == "xla_bf16" else jnp.float32
     h = silu(group_norm(p["norm1"], x, groups, 1e-6))
-    h = conv2d(p["conv1"], h)
+    h = conv2d(p["conv1"], h, preferred=pref)
     h = silu(group_norm(p["norm2"], h, groups, 1e-6))
-    h = conv2d(p["conv2"], h)
+    h = conv2d(p["conv2"], h, preferred=pref)
     if "conv_shortcut" in p:
-        x = conv2d(p["conv_shortcut"], x, padding="VALID")
+        x = conv2d(p["conv_shortcut"], x, padding="VALID", preferred=pref)
     return x + h
 
 
