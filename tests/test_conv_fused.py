@@ -226,3 +226,53 @@ def test_vae_decode_conv_impl_pallas_matches_xla():
     got = vae_decode(params, cfg, z, conv_impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_unet_conv_impl_xla_bf16_identical_in_fp32():
+    """conv_impl="xla_bf16" only changes the conv output element type; in
+    fp32 compute the requested type equals the default — bitwise equal."""
+    from diffusionspatialcontrol_tpu.models.unet import (
+        UNetConfig,
+        UNetCond,
+        unet_apply,
+        unet_init,
+    )
+
+    cfg = UNetConfig(block_out_channels=(32, 64, 64, 64),
+                     cross_attention_dim=64,
+                     num_attention_heads=(4, 4, 4, 4), norm_num_groups=8)
+    params = unet_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    t = jnp.asarray([500.0])
+    cond = UNetCond(
+        context=jax.random.normal(jax.random.PRNGKey(2), (1, 77, 64)))
+    ref = unet_apply(params, cfg, x, t, cond, attn_impl="xla")
+    got = unet_apply(params, cfg, x, t, cond, attn_impl="xla",
+                     conv_impl="xla_bf16")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unet_conv_impl_xla_bf16_close_in_bf16():
+    """In bf16 compute the variant rounds each conv output once more than
+    the fp32-epilogue default — outputs stay within bf16 tolerance."""
+    from diffusionspatialcontrol_tpu.models.unet import (
+        UNetConfig,
+        UNetCond,
+        unet_apply,
+        unet_init,
+    )
+
+    cfg = UNetConfig(block_out_channels=(32, 64, 64, 64),
+                     cross_attention_dim=64,
+                     num_attention_heads=(4, 4, 4, 4), norm_num_groups=8)
+    params = unet_init(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4), jnp.bfloat16)
+    t = jnp.asarray([500.0])
+    cond = UNetCond(context=jax.random.normal(
+        jax.random.PRNGKey(2), (1, 77, 64), jnp.bfloat16))
+    ref = unet_apply(params, cfg, x, t, cond, attn_impl="xla")
+    got = unet_apply(params, cfg, x, t, cond, attn_impl="xla",
+                     conv_impl="xla_bf16")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05)
