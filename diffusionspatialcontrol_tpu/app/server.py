@@ -7,8 +7,11 @@ can be layered on ``app.api.inference`` when the dependency exists (guarded
 import in ``launch_gradio``).
 
 Endpoints:
-  POST /generate   — inference() parameters as JSON (images base64 PNG-less
-                     raw arrays for zero-dependency transport)
+  POST /generate   — inference() parameters as JSON. Image-valued fields
+                     (init_image, inpaint_mask, region masks, unit images)
+                     accept nested number lists OR base64 PNG/JPEG strings
+                     (decoded via PIL; ~50x smaller payloads). Output
+                     images are base64 PNG (native C++ encoder).
   POST /jobs             — same payload, asynchronous: returns a job_id
   GET  /jobs             — queue listing (id, status, progress)
   GET  /jobs/<id>        — status + progress; full result when done
@@ -58,15 +61,47 @@ def _encode_images(images: np.ndarray):
     ]
 
 
+def _decode_b64_image(s: str) -> np.ndarray:
+    """base64 PNG/JPEG string -> float32 HWC (or HW) array in 0..255.
+
+    Image-valued JSON fields accept either nested lists or a base64 string
+    — the latter is ~50x smaller on the wire for typical control images."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(s)))
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    return np.asarray(img, np.float32)
+
+
+def _image_field(v):
+    """JSON image field: nested lists, a base64 image string, or null."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return _decode_b64_image(v)
+    return np.asarray(v, np.float32)
+
+
 def _inference_kwargs(req: dict) -> dict:
     """JSON /generate payload -> inference() kwargs (shared with /jobs)."""
 
     def _parse_state(state):
         if not state:
             return None
+        def _mask(v):
+            if isinstance(v, str):  # b64 grayscale map: drawn = value<255
+                from ..utils.region_ui import mask_from_grayscale_map
+
+                m = _decode_b64_image(v)
+                if m.ndim == 3:
+                    m = m.mean(-1)
+                return mask_from_grayscale_map(m)
+            return np.asarray(v, np.float32)  # nested lists: already 0/1
+
         return {
             phrase: {
-                "mask": np.asarray(spec["mask"], np.float32),
+                "mask": _mask(spec["mask"]),
                 "weight": float(spec.get("weight", 1.0)),
                 "mask_outsides": float(spec.get("mask_outsides", 0.0)),
             }
@@ -97,17 +132,26 @@ def _inference_kwargs(req: dict) -> dict:
     kwargs["region_state"] = region_state
 
     def _img(v):
+        # Unit images / masks use the [0, 1] convention (api.ControlNetUnit
+        # docs); base64 uploads decode to 0..255 and are rescaled here.
+        if isinstance(v, str):
+            return _decode_b64_image(v) / 255.0
         return None if v is None else np.asarray(v, np.float32)
 
     if req.get("init_image") is not None:
-        arr = np.asarray(req["init_image"], np.float32)
-        # JSON images arrive as 0..255 lists; inference's _to_pm1
-        # keys the convention off uint8 dtype
+        arr = _image_field(req["init_image"])
+        # JSON images arrive as 0..255 lists (or base64); inference's
+        # _to_pm1 keys the convention off uint8 dtype
         kwargs["init_image"] = (
             arr.astype(np.uint8) if arr.max() > 1.5 else arr
         )
     if req.get("inpaint_mask") is not None:
-        kwargs["inpaint_mask"] = np.asarray(req["inpaint_mask"], np.float32)
+        m = _image_field(req["inpaint_mask"])
+        if m.ndim == 3:
+            m = m.mean(-1)
+        if m.max() > 1.5:  # 0..255 grayscale upload -> 0/1 mask
+            m = (m > 127.5).astype(np.float32)
+        kwargs["inpaint_mask"] = m
 
     if req.get("loras"):
         kwargs["loras"] = [

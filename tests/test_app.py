@@ -920,3 +920,73 @@ def test_http_job_queue(manager):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_http_server_base64_image_inputs(manager):
+    """Image-valued JSON fields accept base64 PNG strings: init_image
+    (0..255), region masks (grayscale map, drawn = <255), and unit images
+    ([0,1] after decode). Base64 and nested-list payloads must produce
+    identical images for equivalent content."""
+    import base64 as b64
+    import io as _io
+
+    from PIL import Image
+
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    def png_b64(arr):
+        buf = _io.BytesIO()
+        Image.fromarray(np.asarray(arr, np.uint8)).save(buf, format="PNG")
+        return b64.b64encode(buf.getvalue()).decode()
+
+    server = serve(manager, port=0, block=False)
+    try:
+        port = server.server_address[1]
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+
+        base = {
+            "prompt": "a red cat", "model": "tiny", "sampler": "Euler",
+            "steps": 2, "width": 64, "height": 64, "seed": 3,
+            "encoding_mode": "short",
+        }
+
+        # init_image: base64 == nested lists (0..255)
+        rng = np.random.RandomState(0)
+        init_u8 = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        a = post({**base, "init_image": init_u8.tolist(),
+                  "strength": 0.5})
+        b = post({**base, "init_image": png_b64(init_u8),
+                  "strength": 0.5})
+        assert a["images"][0] == b["images"][0]
+
+        # region mask: grayscale map (drawn = 0, background = 255)
+        gray = np.full((64, 64), 255, np.uint8)
+        gray[:, :32] = 0
+        state_list = {"red cat": {
+            "mask": [[1.0 if x < 32 else 0.0 for x in range(64)]
+                     for _ in range(64)],
+            "weight": 0.8, "mask_outsides": 0.2}}
+        state_b64 = {"red cat": {"mask": png_b64(gray),
+                                 "weight": 0.8, "mask_outsides": 0.2}}
+        a = post({**base, "region_state": state_list})
+        b = post({**base, "region_state": state_b64})
+        assert a["images"][0] == b["images"][0]
+
+        # ControlNet unit image: base64 (0..255 PNG) == lists in [0, 1]
+        cond_u8 = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        unit_list = {"model": "Canny",
+                     "image": (cond_u8 / 255.0).tolist()}
+        unit_b64 = {"model": "Canny", "image": png_b64(cond_u8)}
+        a = post({**base, "controlnet_units": [unit_list]})
+        b = post({**base, "controlnet_units": [unit_b64]})
+        assert a["images"][0] == b["images"][0]
+    finally:
+        server.shutdown()
