@@ -36,3 +36,20 @@ if _xb.backends_are_initialized():  # pragma: no cover
     from jax.extend.backend import clear_backends
 
     clear_backends()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap cumulative XLA:CPU compile state. The full single-process suite
+    segfaults inside backend_compile after ~200+ tests' worth of compiled
+    programs (reproduced twice at tests/test_conditioning.py hires tests;
+    every test passes in isolation). Dropping the in-memory executable
+    caches between modules keeps the native heap bounded. Prefer
+    ``pytest -n 4 --dist loadfile`` (xdist, per-file workers), which
+    sidesteps the accumulation entirely and is ~3x faster."""
+    yield
+    import jax
+
+    jax.clear_caches()
