@@ -39,6 +39,16 @@ if _xb.backends_are_initialized():  # pragma: no cover
 
 import pytest  # noqa: E402
 
+# Decouple tests from wall-clock load: inference()'s default watchdog is the
+# reference's 360 s (registry.INFERENCE_TIMEOUT_S, bound as a default arg at
+# api-import time). Heavy CPU e2e tests legitimately exceed it when the
+# 1-CPU box is contended (observed: two suites overlapping -> 2 spurious
+# TimeoutErrors). Raise the default BEFORE any test module imports the app
+# layer; tests that exercise the watchdog pass an explicit tiny timeout.
+from diffusionspatialcontrol_tpu import registry as _registry  # noqa: E402
+
+_registry.INFERENCE_TIMEOUT_S = 36000
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
