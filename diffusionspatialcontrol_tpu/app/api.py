@@ -876,6 +876,21 @@ def inference(
             hires["rebuild_extras"] = build_unit_extras
 
     batch = num_images_per_prompt
+    turbo_modes = {
+        "cfg_tail_frac": bool(cfg_tail_frac and cfg_tail_frac > 0.0),
+        "deepcache_interval": bool(deepcache_interval
+                                   and deepcache_interval > 1),
+        "bottleneck_low_scale": bool(bottleneck_low_scale
+                                     and 0.0 < bottleneck_low_scale < 1.0),
+    }
+    if init_image is not None and any(turbo_modes.values()):
+        # unsupported combos raise rather than silently degrade (the
+        # acceleration modes are txt2img-only)
+        on = [k for k, v in turbo_modes.items() if v]
+        raise ValueError(
+            f"{', '.join(on)} do(es) not combine with init_image "
+            f"(img2img / inpaint)"
+        )
     with timer.phase("sample"):
         if init_image is not None and inpaint_mask is not None:
             img = _to_pm1(init_image)[None]
@@ -908,6 +923,11 @@ def inference(
             if deepcache_interval and deepcache_interval > 1:
                 raise ValueError(
                     "deepcache_interval does not combine with "
+                    "cancel_check_steps"
+                )
+            if turbo_modes["bottleneck_low_scale"]:
+                raise ValueError(
+                    "bottleneck_low_scale does not combine with "
                     "cancel_check_steps"
                 )
 
@@ -1031,7 +1051,12 @@ def _is_nnet_cfg(cfg) -> bool:
 def _maybe_preprocess(manager: ModelManager, unit) -> np.ndarray:
     if unit.preprocessor:
         return manager.get_preprocessor(unit.preprocessor)(unit.image)
-    return unit.image
+    img = np.asarray(unit.image)
+    if img.dtype == np.uint8:
+        # already-processed control maps arrive as uint8 from UIs; the
+        # conditioning contract (ControlNetUnit.image docs) is [0, 1]
+        img = img.astype(np.float32) / 255.0
+    return img
 
 
 def _fit_unit_image(img, h: int, w: int) -> jnp.ndarray:

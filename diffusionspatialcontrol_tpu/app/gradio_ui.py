@@ -45,6 +45,18 @@ def _img_or_none(img):
     return np.asarray(img) if img is not None else None
 
 
+def _gray(img) -> np.ndarray:
+    a = np.asarray(img, np.float32)
+    return a.mean(-1) if a.ndim == 3 else a
+
+
+def _mask01(img) -> np.ndarray:
+    """Grayscale mask -> [0, 1] float (gradio may hand back either a
+    0..255 uint8 array or an already-normalized float one)."""
+    m = _gray(img)
+    return m / 255.0 if m.max() > 1.5 else m
+
+
 def build_ui(manager: ModelManager):
     import gradio as gr
 
@@ -136,8 +148,7 @@ def build_ui(manager: ModelManager):
         if ip_on and ip_image is not None:
             mask = None
             if ip_mask is not None:
-                m = np.asarray(ip_mask)
-                mask = m.mean(-1) / 255.0 if m.ndim == 3 else m
+                mask = _mask01(ip_mask)
             ip_units.append(IPAdapterUnit(
                 model=ip_model, image=np.asarray(ip_image),
                 scale=float(ip_scale), mask=mask,
@@ -165,11 +176,11 @@ def build_ui(manager: ModelManager):
             init_image=_img_or_none(init_image),
             strength=float(strength),
             inpaint_mask=(
+                # white = regenerate (the UI label's and the HTTP
+                # server's convention; mask_from_grayscale_map is the
+                # REGION-map convention, drawn = <255, i.e. inverted)
                 None if inpaint_mask is None else
-                region_ui.mask_from_grayscale_map(
-                    np.asarray(inpaint_mask).mean(-1)
-                    if np.asarray(inpaint_mask).ndim == 3
-                    else np.asarray(inpaint_mask))
+                (_gray(inpaint_mask) > 127.5).astype(np.float32)
             ),
             hires_scale=float(hires_scale or 0.0),
             hires_strength=float(hires_strength),

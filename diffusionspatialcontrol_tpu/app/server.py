@@ -140,10 +140,13 @@ def _inference_kwargs(req: dict) -> dict:
 
     if req.get("init_image") is not None:
         arr = _image_field(req["init_image"])
-        # JSON images arrive as 0..255 lists (or base64); inference's
-        # _to_pm1 keys the convention off uint8 dtype
+        # the HTTP convention for init_image is 0..255 (base64 or JSON
+        # lists) — always cast to uint8 so inference's _to_pm1 maps it to
+        # [-1, 1]. (A max()-based heuristic misreads dark images: an
+        # all-black 0..255 upload would pass through as float and be
+        # treated as already [-1, 1], i.e. mid-gray.)
         kwargs["init_image"] = (
-            arr.astype(np.uint8) if arr.max() > 1.5 else arr
+            np.clip(np.round(arr), 0, 255).astype(np.uint8)
         )
     if req.get("inpaint_mask") is not None:
         m = _image_field(req["inpaint_mask"])
@@ -270,6 +273,13 @@ class _JobQueue:
     def get(self, job_id: str) -> Optional[_Job]:
         return self.jobs.get(job_id)
 
+    def snapshot(self) -> list:
+        # taken under the condition lock: submit()/_trim() mutate the
+        # OrderedDict from other handler threads, and iterating it bare
+        # intermittently raises "mutated during iteration"
+        with self._cond:
+            return list(self.jobs.values())
+
     def _trim(self):
         done = [j for j in self.jobs.values()
                 if j.status in ("done", "error", "cancelled")]
@@ -330,7 +340,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"ok": True})
         elif self.path == "/jobs":
             self._json(200, {
-                "jobs": [j.brief() for j in self.job_queue.jobs.values()],
+                "jobs": [j.brief() for j in self.job_queue.snapshot()],
             })
         elif self.path.startswith("/jobs/"):
             job = self.job_queue.get(self.path[len("/jobs/"):])

@@ -443,6 +443,11 @@ def nnet_apply(params, cfg: NormalBaeConfig, pixels, rng=None):
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# module-level jit: cfg is a frozen (hashable) dataclass, so repeated
+# detector calls at the same resolution hit the trace cache instead of
+# re-wrapping (and thus retracing) per image
+_nnet_apply_jit = jax.jit(nnet_apply, static_argnums=1)
+
 
 def detect_normalbae(params, image: np.ndarray,
                      cfg: NormalBaeConfig = NormalBaeConfig(),
@@ -464,9 +469,8 @@ def detect_normalbae(params, image: np.ndarray,
     small = np.asarray(jax.image.resize(jnp.asarray(img), (th, tw, 3),
                                         "bilinear"))
     norm = (small / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
-    out = jax.jit(
-        lambda p, x, r: nnet_apply(p, cfg, x, r)
-    )(params, jnp.asarray(norm)[None], jax.random.PRNGKey(seed))
+    out = _nnet_apply_jit(params, cfg, jnp.asarray(norm)[None],
+                          jax.random.PRNGKey(seed))
     normal = np.asarray(out[0, :, :, :3], np.float32)
     normal = ((normal + 1.0) * 0.5).clip(0.0, 1.0)
     return np.asarray(jax.image.resize(jnp.asarray(normal), (h, w, 3),

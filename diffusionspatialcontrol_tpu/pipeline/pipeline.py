@@ -1264,12 +1264,13 @@ class StableDiffusionTPU:
         lo_biases = None
         if region_state is not None:
             states, ids, nipp = region_state
+            do_cfg = gen.guidance_scale > 1.0
             hi_biases = self.encode_region(
                 states, ids, height=lh * 8, width=lw * 8,
-                num_images_per_prompt=nipp)
+                num_images_per_prompt=nipp, do_cfg=do_cfg)
             lo_biases = self.encode_region(
                 states, ids, height=bh * 8, width=bw * 8,
-                num_images_per_prompt=nipp)
+                num_images_per_prompt=nipp, do_cfg=do_cfg)
 
         def seg(x, lo, hi, biases, decode_out, uint8_out):
             return _sample_core(
@@ -1378,6 +1379,7 @@ class StableDiffusionTPU:
             hr_biases = self.encode_region(
                 states, ids, height=gen_hr.height, width=gen_hr.width,
                 num_images_per_prompt=nipp,
+                do_cfg=gen_hr.guidance_scale > 1.0,
             )
         # ControlNet cond-images and T2I residuals are resolution-bound;
         # the reference re-prepares them at the target size inside its

@@ -842,6 +842,46 @@ def test_inference_bottleneck_low_scale(manager):
                   hires_scale=2.0, **kwargs)
 
 
+def test_turbo_modes_raise_with_init_image(manager):
+    """Acceleration modes are txt2img-only: combining them with an init
+    image must raise, not silently run plain img2img (regression: the
+    init_image branch ran before any turbo-mode check)."""
+    kwargs = dict(
+        model="tiny", sampler="Euler", steps=4, width=64, height=64,
+        encoding_mode="short", dtype=jnp.float32,
+        init_image=(np.random.RandomState(0).rand(64, 64, 3) * 255).astype(
+            np.uint8),
+    )
+    for turbo in (dict(bottleneck_low_scale=0.5),
+                  dict(deepcache_interval=2),
+                  dict(cfg_tail_frac=0.5)):
+        with pytest.raises(ValueError, match="init_image"):
+            inference(manager, prompt="a cat", **kwargs, **turbo)
+    with pytest.raises(ValueError, match="cancel_check_steps"):
+        inference(manager, prompt="a cat", model="tiny", sampler="Euler",
+                  steps=4, width=64, height=64, encoding_mode="short",
+                  dtype=jnp.float32, cancel_check_steps=2,
+                  bottleneck_low_scale=0.5)
+
+
+def test_unit_image_uint8_normalized(manager):
+    """Preprocessor-less unit images arriving as uint8 (e.g. from the
+    Gradio UI) are rescaled to the documented [0, 1] contract."""
+    from diffusionspatialcontrol_tpu.app.api import _maybe_preprocess
+
+    img_u8 = (np.random.RandomState(1).rand(32, 32, 3) * 255).astype(
+        np.uint8)
+    unit = ControlNetUnit(model="Canny", image=img_u8, preprocessor=None)
+    out = _maybe_preprocess(manager, unit)
+    assert out.dtype == np.float32 and out.max() <= 1.0
+    np.testing.assert_allclose(out, img_u8.astype(np.float32) / 255.0)
+    # float inputs pass through untouched
+    unit_f = ControlNetUnit(model="Canny", image=img_u8 / 255.0,
+                            preprocessor=None)
+    np.testing.assert_allclose(_maybe_preprocess(manager, unit_f),
+                               img_u8 / 255.0)
+
+
 def test_http_job_queue(manager):
     """Async job API: submit -> poll -> done matches the synchronous
     /generate result for the same seed; queued jobs can be cancelled;

@@ -67,6 +67,24 @@ def test_bottleneck_with_region_state(pipe):
     assert not np.allclose(np.asarray(base), np.asarray(controlled))
 
 
+def test_bottleneck_region_state_no_cfg(pipe):
+    """guidance_scale<=1 (no-CFG fast path): the internal region re-encode
+    must NOT produce CFG-doubled biases against an un-doubled batch
+    (regression: encode_region was called with its default do_cfg=True)."""
+    ctx, ids = pipe.encode_prompt(["a red cat and a blue dog"], [""])
+    cond = ctx[ctx.shape[0] // 2:]  # cond half only, as api.inference does
+    gen = dataclasses.replace(GEN, guidance_scale=1.0)
+    mask = np.zeros((128, 128), np.float32)
+    mask[:, :64] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.3}}
+    out = pipe.txt2img_bottleneck(
+        cond, gen, low_scale=0.5, seed=3, decode=False,
+        region_state=([state], ids, 1),
+    )
+    assert out.shape[0] == 1
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_bottleneck_rejections(pipe):
     ctx, _ = pipe.encode_prompt(["a cat"], [""])
     with pytest.raises(ValueError, match="bottleneck"):

@@ -180,6 +180,27 @@ def test_hires_with_region_reencode(pipe):
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_hires_region_reencode_no_cfg(pipe):
+    """guidance_scale<=1 + hires + region_state: the hires pass re-encodes
+    biases WITHOUT CFG doubling (regression: encode_region defaulted to
+    do_cfg=True, producing 2B biases against a B-batch cond-only context)."""
+    ctx, ids = pipe.encode_prompt(["a red cat"], [""])
+    cond = ctx[ctx.shape[0] // 2:]
+    gen = dataclasses.replace(GEN, guidance_scale=1.0)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    state = {"red cat": {"mask": mask, "weight": 1.0, "mask_outsides": 0.0}}
+    biases = pipe.encode_region([state], ids, height=64, width=64,
+                                do_cfg=False)
+    out = pipe.txt2img(
+        cond, gen, seed=0, region_biases=biases,
+        hires={"scale": 2.0, "strength": 0.5,
+               "region_state": ([state], ids, 1)},
+    )
+    assert out.shape == (1, 128, 128, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_hires_with_controlnet_rebuilds_extras(pipe, cn_params):
     """Hires + ControlNet: extras are re-prepared at the target resolution
     via hires['rebuild_extras'] (reference re-prepares cond images inside
