@@ -606,6 +606,8 @@ def inference(
     cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
     deepcache_interval: int = 0,  # >1: reuse deep UNet features N-1 of N steps
     bottleneck_low_scale: float = 0.0,  # in (0,1): middle steps at this scale
+    tgate_gate_frac: float = 0.0,  # in (0,1): freeze cross-attn + drop the
+    # uncond half after this fraction of steps (TGATE)
     progress_cb=None,  # fn(steps_done, steps_total); may raise to cancel.
     # Only ticks on the chunked path (cancel_check_steps set, plain
     # txt2img) — other paths run as one compiled program with no host
@@ -882,6 +884,8 @@ def inference(
                                    and deepcache_interval > 1),
         "bottleneck_low_scale": bool(bottleneck_low_scale
                                      and 0.0 < bottleneck_low_scale < 1.0),
+        "tgate_gate_frac": bool(tgate_gate_frac
+                                and 0.0 < tgate_gate_frac < 1.0),
     }
     if init_image is not None and any(turbo_modes.values()):
         # unsupported combos raise rather than silently degrade (the
@@ -890,6 +894,11 @@ def inference(
         raise ValueError(
             f"{', '.join(on)} do(es) not combine with init_image "
             f"(img2img / inpaint)"
+        )
+    if sum(turbo_modes.values()) > 1:
+        on = [k for k, v in turbo_modes.items() if v]
+        raise ValueError(
+            f"at most one acceleration mode at a time, got: {', '.join(on)}"
         )
     with timer.phase("sample"):
         if init_image is not None and inpaint_mask is not None:
@@ -928,6 +937,11 @@ def inference(
             if turbo_modes["bottleneck_low_scale"]:
                 raise ValueError(
                     "bottleneck_low_scale does not combine with "
+                    "cancel_check_steps"
+                )
+            if turbo_modes["tgate_gate_frac"]:
+                raise ValueError(
+                    "tgate_gate_frac does not combine with "
                     "cancel_check_steps"
                 )
 
@@ -987,6 +1001,22 @@ def inference(
                 )
             out = pipe.txt2img_deepcache(
                 context, gen, deepcache_interval, seed=seed,
+                region_biases=region_biases, batch_size=batch,
+                extras=extras, uint8_output=True,
+            )
+        elif turbo_modes["tgate_gate_frac"]:
+            # Optional acceleration: TGATE temporal attention decomposition
+            # — after gate_frac of the steps, cross-attention outputs are
+            # frozen (CFG-pair-averaged) and the uncond half is dropped
+            # (pipeline txt2img_tgate). No reference counterpart; excluded
+            # from headline benchmarks.
+            if hires is not None or latent_preview:
+                raise ValueError(
+                    "tgate_gate_frac does not combine with hires or "
+                    "latent_preview"
+                )
+            out = pipe.txt2img_tgate(
+                context, gen, tgate_gate_frac, seed=seed,
                 region_biases=region_biases, batch_size=batch,
                 extras=extras, uint8_output=True,
             )

@@ -124,6 +124,7 @@ def _inference_kwargs(req: dict) -> dict:
             "hires_steps", "eta", "cancel_check_steps", "timeout",
             "latent_preview", "cfg_tail_frac", "deepcache_interval",
             "bottleneck_low_scale",
+            "tgate_gate_frac",
         )
         if k in req
     }

@@ -429,7 +429,9 @@ def _geglu_ff(p, x):
 
 def _transformer_apply(p, cfg: UNetConfig, x, cond: UNetCond, level: int,
                        heads, attn_impl, heatmaps,
-                       axis_name: Optional[str] = None):
+                       axis_name: Optional[str] = None,
+                       xattn_cache: Optional[list] = None,
+                       xattn_out: Optional[list] = None):
     b, hh, ww, c = x.shape
     residual = x
     h = group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6)
@@ -443,9 +445,18 @@ def _transformer_apply(p, cfg: UNetConfig, x, cond: UNetCond, level: int,
     for bp in p["blocks"]:
         h = h + _self_attention(bp["attn1"], layer_norm(bp["norm1"], h), heads,
                                 attn_impl)
-        h = h + _cross_attention(bp["attn2"], layer_norm(bp["norm2"], h), cond,
-                                 level, heads, attn_impl, heatmaps,
-                                 axis_name=axis_name)
+        if xattn_cache is not None:
+            # TGATE tail: frozen cross-attention output (PAPERS.md
+            # "Faster Diffusion via Temporal Attention Decomposition");
+            # the norm2 layer_norm and all q/k/v work are skipped too
+            xo = xattn_cache.pop(0)
+        else:
+            xo = _cross_attention(bp["attn2"], layer_norm(bp["norm2"], h),
+                                  cond, level, heads, attn_impl, heatmaps,
+                                  axis_name=axis_name)
+        if xattn_out is not None:
+            xattn_out.append(xo)
+        h = h + xo.astype(h.dtype)
         h = h + _geglu_ff(bp["ff"], layer_norm(bp["norm3"], h))
 
     if cfg.use_linear_projection:
@@ -483,6 +494,8 @@ def unet_apply(
     collect_heatmaps: bool = False,
     axis_name: Optional[str] = None,
     conv_impl: Optional[str] = None,
+    xattn_cache: Optional[Tuple[jnp.ndarray, ...]] = None,
+    collect_xattn: bool = False,
 ):
     """UNet forward. Returns eps/v prediction (B, H, W, out_channels); with
     ``collect_heatmaps`` also returns a list of (level, (B, L, S)) cross-attn
@@ -492,8 +505,23 @@ def unet_apply(
     GN+SiLU+conv kernel, "xla" = lax.conv chain). Default "xla": the
     round-3 A/B showed XLA's conv pipeline beats the fused kernel at the
     hot shapes (PERF.md "Round 3"); pallas attention remains the winner
-    and is selected independently via ``attn_impl``."""
+    and is selected independently via ``attn_impl``.
+
+    TGATE-style cross-attention freezing (opt-in, PAPERS.md "Faster
+    Diffusion via Temporal Attention Decomposition"): ``collect_xattn``
+    returns ``(out, xattn_outputs)`` — the output of every cross-attention
+    call in traversal order; ``xattn_cache`` (the same tuple) substitutes
+    those values and skips all cross-attention compute. Mutually exclusive
+    with each other and with ``collect_heatmaps``."""
+    if collect_xattn and (xattn_cache is not None or collect_heatmaps):
+        raise ValueError("collect_xattn is exclusive with xattn_cache / "
+                         "collect_heatmaps")
+    if xattn_cache is not None and collect_heatmaps:
+        raise ValueError("heatmap introspection needs live cross-attention "
+                         "(xattn_cache skips it)")
     heatmaps: Optional[list] = [] if collect_heatmaps else None
+    xa_in = list(xattn_cache) if xattn_cache is not None else None
+    xa_out: Optional[list] = [] if collect_xattn else None
     groups, eps_ = cfg.norm_num_groups, cfg.norm_eps
     conv_impl = "xla" if conv_impl is None else conv_impl
 
@@ -520,7 +548,8 @@ def unet_apply(
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
-                                       heatmaps, axis_name=axis_name)
+                                       heatmaps, axis_name=axis_name,
+                                       xattn_cache=xa_in, xattn_out=xa_out)
             if j == n_res - 1 and t2i:
                 h = h + t2i.pop(0).astype(h.dtype)
             skips.append(h)
@@ -538,7 +567,8 @@ def unet_apply(
     h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_, conv_impl)
     h = _transformer_apply(mid["attention"], cfg, h, cond, cfg.num_levels - 1,
                            cfg.heads_at(cfg.num_levels - 1), attn_impl,
-                           heatmaps, axis_name=axis_name)
+                           heatmaps, axis_name=axis_name,
+                           xattn_cache=xa_in, xattn_out=xa_out)
     h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_, conv_impl)
     if cond.controlnet_mid is not None:
         h = h + cond.controlnet_mid.astype(h.dtype)
@@ -559,7 +589,8 @@ def unet_apply(
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
-                                       heatmaps, axis_name=axis_name)
+                                       heatmaps, axis_name=axis_name,
+                                       xattn_cache=xa_in, xattn_out=xa_out)
         if "upsample" in block:
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
@@ -568,6 +599,13 @@ def unet_apply(
     h = group_norm(params["conv_norm_out"], h, groups, eps_)
     h = silu(h)
     out = conv2d(params["conv_out"], h)
+    if xa_in is not None and xa_in:
+        raise ValueError(
+            f"xattn_cache has {len(xa_in)} unconsumed entries — it must "
+            f"hold exactly one output per cross-attention call"
+        )
+    if collect_xattn:
+        return out, tuple(xa_out)
     if collect_heatmaps:
         return out, heatmaps
     return out

@@ -250,9 +250,22 @@ def make_denoise_fn(
     sigma_steps: Optional[np.ndarray] = None,  # static per-step sigmas
     axis_name: Optional[str] = None,  # set inside shard_map (parallel/spmd)
     conv_impl: Optional[str] = None,  # default: follow attn_impl
+    xattn_cache: Optional[Tuple[jnp.ndarray, ...]] = None,  # TGATE tail
+    collect_xattn: bool = False,  # denoise returns (x0, xattn outputs)
 ):
-    """Builds the sigma-space denoiser D(x; sigma) used by every solver."""
+    """Builds the sigma-space denoiser D(x; sigma) used by every solver.
+
+    ``xattn_cache`` / ``collect_xattn``: TGATE cross-attention freezing
+    (models/unet.py unet_apply docs). The cache path is only supported
+    with guidance off — the TGATE tail collapses the CFG pair (both
+    halves share the frozen cross-attention, making them identical)."""
     do_cfg = guidance_scale > 1.0
+    if xattn_cache is not None and do_cfg:
+        raise ValueError(
+            "xattn_cache requires guidance off (the TGATE tail runs "
+            "cond-only; with a shared frozen cross-attention the CFG "
+            "halves are identical)"
+        )
     ex = extras or DenoiseExtras()
     context = context.astype(compute_dtype)
     if ex.ip_tokens is not None:
@@ -389,10 +402,20 @@ def make_denoise_fn(
             ip_masks=ex.ip_masks,
         )
 
-        out = unet_apply(
-            params["unet"], model_cfg.unet, model_in, t_b, cond,
-            attn_impl=attn_impl, axis_name=axis_name, conv_impl=conv_impl,
-        ).astype(jnp.float32)
+        xa = None
+        if collect_xattn:
+            out, xa = unet_apply(
+                params["unet"], model_cfg.unet, model_in, t_b, cond,
+                attn_impl=attn_impl, axis_name=axis_name,
+                conv_impl=conv_impl, collect_xattn=True,
+            )
+        else:
+            out = unet_apply(
+                params["unet"], model_cfg.unet, model_in, t_b, cond,
+                attn_impl=attn_impl, axis_name=axis_name,
+                conv_impl=conv_impl, xattn_cache=xattn_cache,
+            )
+        out = out.astype(jnp.float32)
 
         if model_cfg.prediction_type == "v_prediction":
             c_skip = 1.0 / (sigma**2 + 1.0)
@@ -409,8 +432,8 @@ def make_denoise_fn(
             mixed = d_u + guidance_scale * (d_c - d_u)
             if guidance_rescale > 0.0:
                 mixed = rescale_noise_cfg(mixed, d_c, guidance_rescale)
-            return mixed
-        return denoised
+            return (mixed, xa) if collect_xattn else mixed
+        return (denoised, xa) if collect_xattn else denoised
 
     return denoise
 
@@ -621,6 +644,7 @@ def _sample_chunk(
     noise,
     extras,
     start,  # traced scalar step offset -> one program per segment_size
+    xattn_cache=None,  # TGATE tail: frozen cross-attention outputs
     *,
     model_cfg: ModelConfig,
     solver_name: str,
@@ -643,6 +667,7 @@ def _sample_chunk(
         guidance_scale, guidance_rescale, attn_impl,
         compute_dtype=compute_dtype, extras=extras,
         sigma_steps=sigmas[:-1], conv_impl=conv_impl,
+        xattn_cache=xattn_cache,
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     return solver_fn(
@@ -749,6 +774,49 @@ def _denoise_once(
         sigma_steps=np.asarray([sigma], np.float64), conv_impl=conv_impl,
     )
     return denoise(x, jnp.float32(sigma))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "sigma", "guidance_scale", "guidance_rescale",
+        "attn_impl", "conv_impl", "compute_dtype",
+    ),
+)
+def _collect_xattn_once(
+    params,
+    x,
+    context,
+    region_biases,
+    extras,
+    *,
+    model_cfg: ModelConfig,
+    sigma: float,
+    guidance_scale: float,
+    guidance_rescale: float,
+    attn_impl: str,
+    conv_impl: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """One extra forward at the TGATE gate sigma capturing every
+    cross-attention output. With CFG on, the cond and uncond entries are
+    averaged (TGATE's choice: both halves of the tail share the frozen
+    cross-attention, PAPERS.md "Faster Diffusion via Temporal Attention
+    Decomposition") — the tail then runs cond-only at half batch."""
+    table = schedules.ddpm_sigma_table(model_cfg)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    denoise = make_denoise_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=np.asarray([sigma], np.float64), conv_impl=conv_impl,
+        collect_xattn=True,
+    )
+    _, xa = denoise(x, jnp.float32(sigma))
+    if guidance_scale > 1.0:
+        # interleaved CFG layout [u0, c0, u1, c1, ...] -> pair average
+        xa = tuple(0.5 * (e[0::2] + e[1::2]) for e in xa)
+    return xa
 
 
 # ---------------------------------------------------------------------------
@@ -1006,6 +1074,7 @@ class StableDiffusionTPU:
         decode: bool = True,
         uint8_output: bool = False,
         resume: Optional["ChunkedPause"] = None,
+        xattn_cache=None,  # TGATE tail (txt2img_tgate)
     ):
         """txt2img with host re-entry every ``chunk_steps`` solver steps.
 
@@ -1064,7 +1133,7 @@ class StableDiffusionTPU:
             size = min(int(chunk_steps), n_total - pos)
             x, carry = _sample_chunk(
                 self.params, carry, latents, context, region_biases,
-                noise, extras, jnp.int32(pos),
+                noise, extras, jnp.int32(pos), xattn_cache,
                 model_cfg=self.model_cfg,
                 solver_name=gen.sampler,
                 sigmas_key=tuple(float(v) for v in sigmas),
@@ -1138,6 +1207,83 @@ class StableDiffusionTPU:
             ctx2, gen2, seed=seed, region_biases=rb2, batch_size=batch_size,
             extras=ex2, chunk_steps=n_total, resume=pause, decode=decode,
             uint8_output=uint8_output,
+        )
+
+    def txt2img_tgate(
+        self,
+        context: jnp.ndarray,
+        gen: GenerationConfig,
+        gate_frac: float = 0.5,
+        seed=0,
+        region_biases=None,
+        batch_size: int = 1,
+        extras: Optional[DenoiseExtras] = None,
+        decode: bool = True,
+        uint8_output: bool = False,
+    ):
+        """TGATE-style temporal attention decomposition (PAPERS.md "Faster
+        Diffusion via Temporal Attention Decomposition"): cross-attention
+        outputs converge once the semantics are planned, so after the gate
+        step they are frozen. Segment 1 runs the first ``gate_frac`` of
+        solver steps normally (CFG on); at the gate one extra forward
+        captures every cross-attention output, CFG-pair-averaged; segment 2
+        resumes the SAME solver carry and noise streams cond-only (with a
+        shared frozen cross-attention both CFG halves are identical, so the
+        uncond half is dropped — that is TGATE's speedup) with the frozen
+        outputs substituted for all cross-attention compute.
+
+        Opt-in acceleration with no reference counterpart; excluded from
+        headline benchmarks. ``gate_frac>=1`` is exactly :meth:`txt2img`.
+        ControlNet / T2I residuals stay live (they inject into resnets);
+        region control and IP-Adapter influence persists only through the
+        frozen outputs past the gate (consistent with the method: the
+        sigma-scaled region term fades by the tail anyway)."""
+        sigmas, _ = self._schedule(gen)
+        n_total = solvers.scan_length(gen.sampler, sigmas)
+        gate = int(round(n_total * float(gate_frac)))
+        if gate >= n_total:
+            return self.txt2img(
+                context, gen, seed=seed, region_biases=region_biases,
+                batch_size=batch_size, extras=extras, decode=decode,
+                uint8_output=uint8_output,
+            )
+        gate = max(1, gate)
+        if gen.sampler not in solvers.DEEPCACHE_SOLVERS:
+            # the gate sigma must be the scan-step sigma (sigmas[gate]);
+            # that mapping only holds for the plain one-eval-per-step
+            # deterministic solvers
+            raise ValueError(
+                f"tgate supports {sorted(solvers.DEEPCACHE_SOLVERS)}, "
+                f"not {gen.sampler!r}"
+            )
+        pause = self.sample_chunked(
+            context, gen, seed=seed, region_biases=region_biases,
+            batch_size=batch_size, extras=extras, chunk_steps=gate,
+            on_chunk=lambda done, total: done < gate, decode=False,
+        )
+        xa = _collect_xattn_once(
+            self.params, pause.x, context, region_biases, extras,
+            model_cfg=self.model_cfg, sigma=float(sigmas[gate]),
+            guidance_scale=gen.guidance_scale,
+            guidance_rescale=gen.guidance_rescale,
+            attn_impl=self.attn_impl, conv_impl=self.conv_impl,
+            compute_dtype=gen.dtype,
+        )
+        if gen.guidance_scale > 1.0:
+            ctx2, _, ex2 = cond_half_conditioning(context, None, extras)
+        else:
+            ctx2, ex2 = context, extras
+        # region biases and IP tokens are dead past the gate (cross-attn
+        # is never computed); drop them for a leaner tail program
+        if ex2 is not None and ex2.ip_tokens is not None:
+            ex2 = dataclasses.replace(
+                ex2, ip_tokens=None, ip_scales=None, ip_masks=None)
+        gen2 = dataclasses.replace(gen, guidance_scale=1.0)
+        return self.sample_chunked(
+            ctx2, gen2, seed=seed, region_biases=None,
+            batch_size=batch_size, extras=ex2, chunk_steps=n_total,
+            resume=pause, decode=decode, uint8_output=uint8_output,
+            xattn_cache=xa,
         )
 
     def txt2img_deepcache(

@@ -842,6 +842,25 @@ def test_inference_bottleneck_low_scale(manager):
                   hires_scale=2.0, **kwargs)
 
 
+def test_inference_tgate(manager):
+    """tgate_gate_frac: cross-attn frozen + uncond half dropped after the
+    gate. Full-size valid images; unsupported combos raise."""
+    kwargs = dict(
+        model="tiny", sampler="Euler", steps=6, width=64, height=64,
+        seed=11, encoding_mode="short", dtype=jnp.float32,
+    )
+    out = inference(manager, prompt="a red cat", tgate_gate_frac=0.5,
+                    **kwargs)
+    assert out["images"].shape == (1, 64, 64, 3)
+    assert out["images"].dtype == np.uint8
+    with pytest.raises(ValueError, match="at most one"):
+        inference(manager, prompt="a red cat", tgate_gate_frac=0.5,
+                  deepcache_interval=2, **kwargs)
+    with pytest.raises(ValueError, match="tgate"):
+        inference(manager, prompt="a red cat", tgate_gate_frac=0.5,
+                  hires_scale=2.0, **kwargs)
+
+
 def test_turbo_modes_raise_with_init_image(manager):
     """Acceleration modes are txt2img-only: combining them with an init
     image must raise, not silently run plain img2img (regression: the
