@@ -842,6 +842,24 @@ def test_inference_bottleneck_low_scale(manager):
                   hires_scale=2.0, **kwargs)
 
 
+def test_gradio_mask_helpers():
+    """The Gradio layer's mask conventions (importable without gradio —
+    the gradio import is deferred to build_ui): inpaint masks are
+    white = regenerate like the HTTP server, IP masks land in [0, 1]."""
+    from diffusionspatialcontrol_tpu.app import gradio_ui as gu
+
+    gray_u8 = np.zeros((8, 8), np.uint8)
+    gray_u8[:4] = 255
+    # 3-channel uint8 and 2-D float inputs normalize identically
+    m3 = gu._mask01(np.stack([gray_u8] * 3, -1))
+    m2 = gu._mask01(gray_u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(m3, m2)
+    assert m3.max() <= 1.0 and m3[0, 0] == 1.0 and m3[7, 0] == 0.0
+    # inpaint convention: white (255) = regenerate = 1
+    inp = (gu._gray(np.stack([gray_u8] * 3, -1)) > 127.5).astype(np.float32)
+    assert inp[0, 0] == 1.0 and inp[7, 0] == 0.0
+
+
 def test_inference_tgate(manager):
     """tgate_gate_frac: cross-attn frozen + uncond half dropped after the
     gate. Full-size valid images; unsupported combos raise."""
