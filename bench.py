@@ -41,14 +41,16 @@ ATTN_IMPL = "pallas"  # fused Pallas kernels: ~13% faster than XLA attention
 CONV_IMPL = __import__("os").environ.get("BENCH_CONV_IMPL", "xla")
 
 
-def timed_runs(fn, n=5):
+def timed_runs(fn, n=9):
     """fn(seed) -> device array; p50 wall time per run including the
     device->host transfer of the final image.
 
     Two measurement pitfalls of the axon backend are avoided deliberately:
     seeds vary per run (the relay caches value-identical executions), and the
     sync is a real np.asarray host transfer (block_until_ready returns before
-    execution completes on this backend)."""
+    execution completes on this backend). n=9 (was 5 through round 2):
+    the relay's run-to-run spread is ~±4%, so a longer sample stabilizes
+    the p50 against drift at negligible cost (~3 s)."""
     ts = []
     for i in range(n):
         t0 = time.perf_counter()
@@ -67,9 +69,10 @@ def main():
     pipe = StableDiffusionTPU(cfg, params, tokenizer=tok,
                               attn_impl=ATTN_IMPL, conv_impl=CONV_IMPL)
 
-    def build_pipe(conv_impl):
+    def build_pipe(conv_impl, seed_in_program=True):
         return StableDiffusionTPU(cfg, params, tokenizer=tok,
-                                  attn_impl=ATTN_IMPL, conv_impl=conv_impl)
+                                  attn_impl=ATTN_IMPL, conv_impl=conv_impl,
+                                  seed_in_program=seed_in_program)
     gen = GenerationConfig(height=512, width=512, num_inference_steps=25,
                            guidance_scale=7.5, sampler="dpmpp_2m",
                            schedule="karras")
@@ -96,18 +99,37 @@ def main():
     # fall back to the XLA-conv program (round-1 equivalent) so the bench
     # still produces its number.
     conv_impl = CONV_IMPL
+    seed_in_program = True
     try:
         np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
     except Exception as e:  # jax.errors.JaxRuntimeError on relay failure
-        if conv_impl == "xla":
-            raise
         import sys
 
-        print(f"fused-conv compile failed ({type(e).__name__}); "
-              f"falling back to conv_impl=xla", file=sys.stderr, flush=True)
-        conv_impl = "xla"
-        pipe = build_pipe(conv_impl)
-        np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+        if conv_impl != "xla":
+            print(f"fused-conv compile failed ({type(e).__name__}); "
+                  f"falling back to conv_impl=xla",
+                  file=sys.stderr, flush=True)
+            conv_impl = "xla"
+        else:
+            # The in-program-init program is new HLO; in relay degraded
+            # mode fresh compiles die while cached programs still run —
+            # fall back to the round-2 eager-init program.
+            print(f"compile failed ({type(e).__name__}); falling back to "
+                  f"seed_in_program=False", file=sys.stderr, flush=True)
+            seed_in_program = False
+        pipe = build_pipe(conv_impl, seed_in_program)
+        try:
+            np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+        except Exception as e2:
+            if seed_in_program:
+                print(f"still failing ({type(e2).__name__}); also falling "
+                      f"back to seed_in_program=False",
+                      file=sys.stderr, flush=True)
+                seed_in_program = False
+                pipe = build_pipe(conv_impl, seed_in_program)
+                np.asarray(pipe.txt2img(ctx, gen, seed=0, uint8_output=True))
+            else:
+                raise
     np.asarray(
         pipe.txt2img(ctx, gen, seed=0, region_biases=biases,
                      uint8_output=True)
@@ -136,6 +158,7 @@ def main():
                 "images_per_min_chip": round(60.0 / controlled, 2),
                 "attn_impl": ATTN_IMPL,
                 "conv_impl": conv_impl,
+                "seed_in_program": seed_in_program,
             }
         )
     )

@@ -170,6 +170,45 @@ def _keyed_normal(k, shape, dtype=jnp.float32):
     return jax.random.normal(k, shape, dtype)
 
 
+def _seed_to_arr(seed):
+    """Device representation of ``seed`` for in-program key derivation:
+    uint32 scalar for a single seed, (B,) uint32 for a per-sample list."""
+    if _is_seed_list(seed):
+        return jnp.asarray([int(s) for s in seed], jnp.uint32)
+    return jnp.uint32(int(seed))
+
+
+def _fold_keys_from_arr(seed_arr, folds: int):
+    """Traced twin of :func:`_seed_fold_keys` taking the uint32 array form
+    produced by :func:`_seed_to_arr`, usable inside jit. Derives the exact
+    same key values/streams (PRNGKey+split for scalars, typed key+fold_in
+    per sample for lists): in-program latent/noise draws are bitwise equal
+    to the eager helpers (tests/test_pipeline.py asserts this in
+    isolation). End-to-end sampling outputs agree only to float rounding —
+    XLA fuses the in-program draws with neighbouring ops, so the two
+    compiled programs round differently at the ULP level."""
+    if seed_arr.ndim == 1:
+        keys = jax.vmap(jax.random.key)(seed_arr)
+        return tuple(
+            jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys)
+            for i in range(folds)
+        )
+    return tuple(jax.random.split(jax.random.PRNGKey(seed_arr), folds))
+
+
+def _solver_noise_fn(rng, sigmas, shape, solver_name: str):
+    """Per-step solver noise table (None for deterministic solvers).
+    Pure function of (rng, static schedule/shape) — callable eagerly or
+    inside the jitted sampling program."""
+    _, draws, _ = solvers.SOLVERS[solver_name]
+    if solver_name == "restart":
+        n = solvers.restart_plan_len(sigmas)
+        return brownian.step_noise(rng, n, 1, shape)
+    if draws == 0:
+        return None
+    return brownian.step_noise(rng, len(sigmas) - 1, draws, shape)
+
+
 def _next_seed(seed):
     """seed + 1, elementwise for per-sample seed lists (hires recursion —
     reference derives the hires pass's noise from a fresh seed,
@@ -576,6 +615,7 @@ def make_denoise_cached_fn(
         "compute_dtype",
         "return_history",
         "uint8_output",
+        "init_shape",
     ),
 )
 def _sample_core(
@@ -585,7 +625,9 @@ def _sample_core(
     region_biases,
     noise,
     extras,
+    seed_arr=None,
     *,
+    init_shape: Optional[Tuple[int, ...]] = None,
     model_cfg: ModelConfig,
     solver_name: str,
     sigmas_key: Tuple[float, ...],
@@ -600,6 +642,21 @@ def _sample_core(
     uint8_output: bool = False,
 ):
     sigmas = np.asarray(sigmas_key, np.float64)
+    if init_shape is not None:
+        # Seeded in-program init: derive the keys and draw the initial
+        # latents + solver noise inside this compiled program instead of
+        # as separate eager dispatches — on a remote-execution backend
+        # each eager op costs a full relay round trip (~30 ms, CLAUDE.md),
+        # so folding them here removes 3-4 round trips per image. The
+        # streams are bitwise-identical to the eager helpers; end-to-end
+        # outputs agree to float rounding (fusion context differs between
+        # the two programs) — tests/test_pipeline.py::
+        # test_seeded_in_program_init.
+        k_lat, k_noise = _fold_keys_from_arr(seed_arr, 2)
+        latents = _keyed_normal(k_lat, init_shape) * float(
+            np.sqrt(sigmas[0] ** 2 + 1.0)
+        )
+        noise = _solver_noise_fn(k_noise, sigmas, init_shape, solver_name)
     table = schedules.ddpm_sigma_table(model_cfg)
     log_table = jnp.asarray(np.log(table), jnp.float32)
 
@@ -834,7 +891,8 @@ class StableDiffusionTPU:
 
     def __init__(self, model_cfg: ModelConfig, params: Dict[str, Any],
                  tokenizer=None, attn_impl: Optional[str] = None,
-                 conv_impl: Optional[str] = None):
+                 conv_impl: Optional[str] = None,
+                 seed_in_program: bool = True):
         self.model_cfg = model_cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -851,6 +909,12 @@ class StableDiffusionTPU:
         # iters; whole-pipeline BENCH_r02 0.831 s pallas vs 0.720 s xla).
         # "pallas" remains selectable for future kernel work (PERF.md).
         self.conv_impl = conv_impl or "xla"
+        # txt2img draws initial latents + solver noise inside the compiled
+        # sampling program (saves 3-4 eager relay round trips per image,
+        # ~30 ms each on the axon backend). False restores the round-2
+        # eager-init program — same PRNG streams, already in the remote
+        # compile cache; useful when the compile relay is degraded.
+        self.seed_in_program = seed_in_program
         self.sigma_table = schedules.ddpm_sigma_table(model_cfg)
 
     # -- prompt encoding ----------------------------------------------------
@@ -1019,13 +1083,7 @@ class StableDiffusionTPU:
         return sigmas, defaults
 
     def _solver_noise(self, rng, sigmas, shape, solver_name: str):
-        _, draws, _ = solvers.SOLVERS[solver_name]
-        if solver_name == "restart":
-            n = solvers.restart_plan_len(sigmas)
-            return brownian.step_noise(rng, n, 1, shape)
-        if draws == 0:
-            return None
-        return brownian.step_noise(rng, len(sigmas) - 1, draws, shape)
+        return _solver_noise_fn(rng, sigmas, shape, solver_name)
 
     def _solver_opts(self, gen: GenerationConfig, defaults: dict):
         opts = {
@@ -1040,10 +1098,12 @@ class StableDiffusionTPU:
         return opts
 
     def _run(self, latents, context, region_biases, sigmas, gen, noise,
-             extras, decode, return_history=False, uint8_output=False):
+             extras, decode, return_history=False, uint8_output=False,
+             seed_arr=None, init_shape=None):
         return _sample_core(
             self.params, latents, context, region_biases, noise,
-            extras,
+            extras, seed_arr,
+            init_shape=init_shape,
             model_cfg=self.model_cfg,
             solver_name=gen.sampler,
             sigmas_key=tuple(float(s) for s in sigmas),
@@ -1086,9 +1146,11 @@ class StableDiffusionTPU:
         may raise (e.g. ``Watchdog.check``) to cancel the run. All per-step
         inputs come from the full static schedule and the solver carry is
         threaded through unchanged, so results are BITWISE IDENTICAL to the
-        single-scan path (tests/test_solvers.py). Costs: at most three
-        compiled variants (first chunk, steady chunk, remainder) and a
-        host sync per chunk.
+        single-scan path with eager init (``seed_in_program=False``;
+        tests/test_solvers.py). Against the default in-program-init
+        txt2img they agree to float rounding only (fusion context differs
+        between programs). Costs: at most three compiled variants (first
+        chunk, steady chunk, remainder) and a host sync per chunk.
 
         Pause/resume (the reference keeps an unused ``self._interrupt``
         flag, model_diffusers.py:237/:342 — never wired; here the scan
@@ -1483,17 +1545,25 @@ class StableDiffusionTPU:
         sigmas, defaults = self._schedule(gen)
         if _is_seed_list(seed):
             batch_size = len(seed)
-        k_lat, k_noise = _seed_fold_keys(seed, 2)
         shape = (batch_size, gen.latent_height, gen.latent_width, 4)
-        if latents is None:
-            latents = _keyed_normal(k_lat, shape)
-        latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
-
-        noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
+        if latents is None and self.seed_in_program:
+            # Initial latents + solver noise are drawn inside the compiled
+            # sampling program (see _sample_core) — same PRNG streams as
+            # the eager path below without its per-op dispatch cost.
+            seed_init = dict(seed_arr=_seed_to_arr(seed), init_shape=shape)
+            latents = noise = None
+        else:
+            seed_init = {}
+            k_lat, k_noise = _seed_fold_keys(seed, 2)
+            if latents is None:
+                latents = _keyed_normal(k_lat, shape)
+            latents = latents * float(np.sqrt(sigmas[0] ** 2 + 1.0))
+            noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
         out = self._run(latents, context, region_biases, sigmas, gen, noise,
                         extras, decode=decode and hires is None,
                         return_history=return_history,
-                        uint8_output=uint8_output and hires is None)
+                        uint8_output=uint8_output and hires is None,
+                        **seed_init)
         if hires is None:
             return out
         base_history = None

@@ -124,10 +124,20 @@ def test_rejects_deep_branch_conditioning(unet_params):
 @pytest.mark.parametrize("sampler", ["euler", "dpmpp_2m"])
 def test_interval_one_matches_txt2img(pipe, sampler):
     """cache_interval=1 runs every step full — identical latents to the
-    plain sampler (same seed stream, same recurrence)."""
+    plain sampler (same seed stream, same recurrence). Compare against the
+    eager-init txt2img program (seed_in_program=False): deepcache draws its
+    init eagerly too, so the tight tolerance isolates the recurrence
+    rather than in-program-init fusion rounding."""
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        StableDiffusionTPU,
+    )
+
     ctx, _ = pipe.encode_prompt(["a cat"], ["bad"])
     gen = dataclasses.replace(GEN, sampler=sampler)
-    ref = pipe.txt2img(ctx, gen, seed=3, decode=False)
+    pipe_eager = StableDiffusionTPU(pipe.model_cfg, pipe.params,
+                                    tokenizer=pipe.tokenizer,
+                                    seed_in_program=False)
+    ref = pipe_eager.txt2img(ctx, gen, seed=3, decode=False)
     out = pipe.txt2img_deepcache(ctx, gen, cache_interval=1, seed=3,
                                  decode=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

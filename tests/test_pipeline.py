@@ -60,6 +60,76 @@ def test_txt2img_seed_determinism(pipe):
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.parametrize("seed", [3, [3, 9]])
+def test_seeded_in_program_init_streams(seed):
+    """The in-program seed plumbing (_seed_to_arr + _fold_keys_from_arr,
+    used by txt2img to draw initial latents + solver noise inside the
+    compiled program) derives bitwise-identical PRNG streams to the eager
+    helpers."""
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        _fold_keys_from_arr,
+        _keyed_normal,
+        _seed_fold_keys,
+        _seed_to_arr,
+        _solver_noise_fn,
+    )
+
+    batch = len(seed) if isinstance(seed, list) else 1
+    shape = (batch, 8, 8, 4)
+    sigmas = np.linspace(14.6, 0.03, 26)
+    k_lat, k_noise = _seed_fold_keys(seed, 2)
+    eager_lat = np.asarray(_keyed_normal(k_lat, shape))
+    eager_noise = np.asarray(
+        _solver_noise_fn(k_noise, sigmas, shape, "euler_ancestral"))
+
+    @jax.jit
+    def in_program(sa):
+        kl, kn = _fold_keys_from_arr(sa, 2)
+        return (_keyed_normal(kl, shape),
+                _solver_noise_fn(kn, sigmas, shape, "euler_ancestral"))
+
+    lat, noise = in_program(_seed_to_arr(seed))
+    np.testing.assert_array_equal(eager_lat, np.asarray(lat))
+    np.testing.assert_array_equal(eager_noise, np.asarray(noise))
+
+
+@pytest.mark.parametrize("sampler", ["dpmpp_2m", "euler_ancestral"])
+@pytest.mark.parametrize("seed", [3, [3, 9]])
+def test_seeded_in_program_init(pipe, sampler, seed):
+    """txt2img draws initial latents + solver noise inside the compiled
+    program (saving eager dispatch round trips). The PRNG streams are
+    bitwise-identical to the eager path (asserted in isolation above);
+    end-to-end outputs agree to float rounding only, because XLA fuses
+    the in-program draws with neighbouring ops and the two programs
+    round differently at the ULP level — amplified over the solver steps
+    to ~1e-4 relative on random-init weights."""
+    from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+        _keyed_normal,
+        _seed_fold_keys,
+    )
+
+    gen = dataclasses.replace(GEN, sampler=sampler)
+    batch = len(seed) if isinstance(seed, list) else 1
+    ctx, _ = pipe.encode_prompt(["a cat"] * batch, [""] * batch)
+    in_program = pipe.txt2img(ctx, gen, seed=seed, decode=False,
+                              batch_size=batch)
+    k_lat, _ = _seed_fold_keys(seed, 2)
+    lat = _keyed_normal(k_lat, (batch, 8, 8, 4))
+    eager = pipe.txt2img(ctx, gen, seed=seed, latents=lat, decode=False,
+                         batch_size=batch)
+    np.testing.assert_allclose(np.asarray(in_program), np.asarray(eager),
+                               rtol=3e-3, atol=1e-3)
+
+    # seed_in_program=False restores the eager-init program: latents drawn
+    # eagerly from the same streams -> bitwise equal to the explicit path.
+    pipe_eager = StableDiffusionTPU(pipe.model_cfg, pipe.params,
+                                    tokenizer=pipe.tokenizer,
+                                    seed_in_program=False)
+    off = pipe_eager.txt2img(ctx, gen, seed=seed, decode=False,
+                             batch_size=batch)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(eager))
+
+
 def test_txt2img_with_region_control(pipe):
     prompt = "a red cat and a blue dog"
     ctx, ids = pipe.encode_prompt([prompt], [""])
@@ -120,13 +190,18 @@ def test_data_parallel_batch_matches_single(pipe):
 
 def test_per_sample_seeds_batch_invariance(pipe):
     """Sample generated with seed s in a batch of 4 equals the same seed
-    generated alone (batch-composition invariance)."""
+    generated alone (batch-composition invariance). Per-sample fold_in keys
+    make the PRNG streams bitwise batch-independent; the residual tolerance
+    is compile-time rounding — B=4 and B=1 are different XLA programs with
+    different fusions (incl. the in-program init draw), and ULP differences
+    amplify over the 25 solver steps (observed max ~1e-4 abs / 3e-6 rel on
+    random-init weights)."""
     ctx4, _ = pipe.encode_prompt(["a cat"] * 4, [""] * 4)
     ctx1, _ = pipe.encode_prompt(["a cat"], [""])
     batch = pipe.txt2img(ctx4, GEN, seed=[11, 22, 33, 44], decode=False)
     solo = pipe.txt2img(ctx1, GEN, seed=[33], decode=False)
     np.testing.assert_allclose(
-        np.asarray(batch[2]), np.asarray(solo[0]), atol=1e-4
+        np.asarray(batch[2]), np.asarray(solo[0]), rtol=1e-5, atol=5e-4
     )
 
 
@@ -141,8 +216,10 @@ def test_generate_grid(pipe):
     solo = pipe.txt2img(
         pipe.encode_prompt(["a dog"], [""])[0], GEN, seed=[2], decode=False
     )
+    # batch-composition rounding bound: see
+    # test_per_sample_seeds_batch_invariance
     np.testing.assert_allclose(
-        np.asarray(out[4]), np.asarray(solo[0]), atol=1e-4
+        np.asarray(out[4]), np.asarray(solo[0]), rtol=1e-5, atol=5e-4
     )
 
 

@@ -419,7 +419,12 @@ def test_chunked_pipeline_matches_and_cancels():
     params = factory.init_pipeline_params(
         jax.random.PRNGKey(0), TINY, jnp.float32
     )
-    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+    # seed_in_program=False: the chunked runner draws init latents/noise
+    # eagerly, so bitwise identity holds against the eager-init single-scan
+    # program (the default in-program-init program agrees to float
+    # rounding only — fusion context differs).
+    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer(),
+                              seed_in_program=False)
     ctx, _ = pipe.encode_prompt(["a cat"], [""])
     single = pipe.txt2img(ctx, GEN, seed=3, decode=False)
     calls = []
@@ -454,7 +459,9 @@ def test_chunked_pause_resume_bitwise_identical():
     params = factory.init_pipeline_params(
         jax.random.PRNGKey(0), TINY, jnp.float32
     )
-    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer())
+    # eager init for bitwise identity vs the chunked runner (see above)
+    pipe = StableDiffusionTPU(TINY, params, tokenizer=HashTokenizer(),
+                              seed_in_program=False)
     ctx, _ = pipe.encode_prompt(["a cat"], [""])
     single = pipe.txt2img(ctx, GEN, seed=3, decode=False)
 
