@@ -14,6 +14,7 @@ clip-skip, encoding mode, latent preview, timeout watchdog.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -1070,6 +1071,67 @@ def inference(
     if latent_preview and previews is not None:
         result["previews"] = previews
     return result
+
+
+def default_warmup_configs(model: str, *, steps: int = 25,
+                           sampler: str = registry.DEFAULT_SAMPLER):
+    """The common serving shape buckets: 512² and 768², batch 1 and 4,
+    each with and without a region map (region control changes the
+    compiled program — the bias tensors are extra inputs)."""
+    configs = []
+    for size in (512, 768):
+        for batch in (1, 4):
+            for region in (False, True):
+                cfg = {
+                    "model": model, "sampler": sampler, "steps": steps,
+                    "width": size, "height": size,
+                    "num_images_per_prompt": batch,
+                }
+                if region:
+                    mask = np.zeros((size, size), np.float32)
+                    mask[:, : size // 2] = 1.0
+                    cfg["region_state"] = {
+                        "warmup": {"mask": mask, "weight": 0.5,
+                                   "mask_outsides": 0.0}
+                    }
+                configs.append(cfg)
+    return configs
+
+
+def warmup(manager: ModelManager, configs) -> list:
+    """Pre-compile the programs for a list of ``inference()`` configs.
+
+    XLA programs are specialized on every static of a generation —
+    (height, width, batch, steps, sampler, schedule, region control
+    on/off, conditioning-unit set, dtype) — and on this backend a cold
+    compile costs 30-120 s through the remote compile service. A serving
+    deployment calls this once at startup with its shape buckets (or
+    :func:`default_warmup_configs`) so no user request pays the compile.
+    The reference has no equivalent (torch eager has no compile step).
+
+    Each config is a dict of ``inference()`` keyword args; ``prompt`` and
+    ``seed`` default to a fixed warmup value (they do not affect the
+    compiled program — only shapes and statics do). Images are discarded.
+    Returns one ``{"seconds": float, "config": <echo of the statics>}``
+    per config, in order — the first run of a bucket includes its compile
+    time; re-warming a cached bucket just measures a generation.
+    """
+    results = []
+    for cfg in configs:
+        cfg = dict(cfg)
+        cfg.setdefault("prompt", "warmup")
+        cfg.setdefault("seed", 0)
+        t0 = time.perf_counter()
+        inference(manager, **cfg)
+        seconds = time.perf_counter() - t0
+        results.append({
+            "seconds": round(seconds, 3),
+            "config": {
+                k: v for k, v in cfg.items()
+                if isinstance(v, (str, int, float, bool))
+            },
+        })
+    return results
 
 
 def _is_nnet_cfg(cfg) -> bool:

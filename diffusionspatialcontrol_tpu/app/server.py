@@ -20,6 +20,10 @@ Endpoints:
                            the job payload for live progress/cancellation;
                            without it the job is one compiled program and
                            cancellation only applies while queued)
+  POST /warmup     — pre-compile shape buckets ({"configs": [...]} or
+                     {"model": name} for the default 512²/768² ×
+                     batch 1/4 × ±region buckets); returns per-bucket
+                     seconds. Call once at deploy time.
   GET  /models     — registered checkpoints
   GET  /samplers   — sampler registry names
   GET  /health
@@ -45,7 +49,7 @@ from typing import Optional
 import numpy as np
 
 from .. import registry
-from .api import ModelManager, inference
+from .api import ModelManager, default_warmup_configs, inference, warmup
 
 
 class GenerationCancelled(RuntimeError):
@@ -402,6 +406,31 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(202, job.brief())
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if self.path == "/warmup":
+            # pre-compile shape buckets so user requests never pay the
+            # 30-120 s remote compile (see api.warmup). Payload:
+            # {"configs": [<generate payloads>]} or {"model": "name"} for
+            # the default buckets. Synchronous; call once at deploy time.
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "configs" in req:
+                    # prompt/seed don't affect the compiled program; let
+                    # warmup payloads omit them
+                    configs = [
+                        _inference_kwargs({"prompt": "warmup", **c})
+                        for c in req["configs"]
+                    ]
+                else:
+                    configs = default_warmup_configs(req["model"])
+                with self.lock:
+                    results = warmup(self.manager, configs)
+                self._json(200, {"results": results})
+            except (ValueError, KeyError, TypeError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         if self.path.startswith("/jobs/") and self.path.endswith("/cancel"):
             job = self.job_queue.get(

@@ -1067,3 +1067,68 @@ def test_http_server_base64_image_inputs(manager):
         assert a["images"][0] == b["images"][0]
     finally:
         server.shutdown()
+
+
+def test_warmup_api(manager):
+    """api.warmup pre-compiles a list of inference configs; results echo
+    the scalar statics with per-config seconds. A re-warm of the same
+    bucket hits the jit cache (no recompile) — asserted indirectly by it
+    completing much faster than the cold run on CPU too."""
+    from diffusionspatialcontrol_tpu.app.api import warmup
+
+    cfgs = [
+        {"model": "tiny", "sampler": "Euler", "steps": 2,
+         "width": 64, "height": 64, "encoding_mode": "short"},
+    ]
+    out = warmup(manager, cfgs)
+    assert len(out) == 1
+    assert out[0]["seconds"] > 0
+    assert out[0]["config"]["sampler"] == "Euler"
+    again = warmup(manager, cfgs)
+    assert again[0]["seconds"] < out[0]["seconds"]
+
+
+def test_warmup_default_buckets():
+    from diffusionspatialcontrol_tpu.app.api import default_warmup_configs
+
+    cfgs = default_warmup_configs("tiny")
+    # 2 sizes x 2 batches x (plain, region)
+    assert len(cfgs) == 8
+    assert sum("region_state" in c for c in cfgs) == 4
+    sizes = {(c["width"], c["height"]) for c in cfgs}
+    assert sizes == {(512, 512), (768, 768)}
+
+
+def test_http_server_warmup(manager):
+    from diffusionspatialcontrol_tpu.app.server import serve
+
+    server = serve(manager, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/warmup",
+            data=json.dumps({"configs": [
+                {"prompt": "warm", "model": "tiny", "sampler": "Euler",
+                 "steps": 2, "width": 64, "height": 64,
+                 "encoding_mode": "short"},
+            ]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert len(payload["results"]) == 1
+        assert payload["results"][0]["seconds"] > 0
+
+        # unknown model -> 400 with the KeyError message
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/warmup",
+            data=json.dumps({"model": "nope"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
