@@ -51,6 +51,10 @@ class ControlNetUnit:
     # ops.preprocess (pure-image) or a native model detector
     # ("Depth"/"Openpose", built by ModelManager.get_preprocessor)
     preprocessor: Optional[str] = None
+    # per-call detector knobs (reference: the Canny low/high threshold
+    # sliders, app.py:707-709) forwarded as keyword args, e.g.
+    # {"low": 100, "high": 200} for "Canny"
+    preprocessor_options: Optional[dict] = None
 
 
 @dataclasses.dataclass
@@ -62,6 +66,7 @@ class T2IAdapterUnit:
     image: np.ndarray  # (H, W, 3) conditioning image in [0, 1]
     scale: float = 1.0
     preprocessor: Optional[str] = None  # as in ControlNetUnit
+    preprocessor_options: Optional[dict] = None  # as in ControlNetUnit
     conditioning_factor: float = 1.0  # residuals active while
     # step < steps*factor (reference: model_k_diffusion.py:1110-1117)
 
@@ -77,7 +82,10 @@ class IPAdapterUnit:
     image: Optional[np.ndarray] = None  # (H, W, 3) reference image
     image_embeds: Optional[np.ndarray] = None  # precomputed embeds
     scale: float = 1.0
-    mask: Optional[np.ndarray] = None  # (H, W) spatial gate
+    mask: Optional[np.ndarray] = None  # (H, W) spatial gate, 1 = active
+    invert_mask: bool = False  # use 1 - mask (reference "Black areas are
+    # used" checkbox, ImageOps.invert before preprocess — app.py:787-795;
+    # the reference UI defaults it ON, this API takes masks as given)
     uncond_image_embeds: Optional[np.ndarray] = None
     face_embedder: Optional[Any] = None  # override ops.face_embed.embed_face
 
@@ -588,11 +596,18 @@ def inference(
     init_image: Optional[np.ndarray] = None,  # (H, W, 3) uint8 or [-1,1]
     strength: float = 0.8,
     inpaint_mask: Optional[np.ndarray] = None,  # (H, W) 1 = regenerate
+    invert_mask: bool = False,  # regenerate where mask==0 instead
+    # (reference "Black areas are used" inpaint checkbox, app.py:899/921)
     # hires fix
     hires_scale: float = 0.0,
     hires_strength: float = 0.6,
     hires_mode: str = "Latent (bilinear)",
     hires_steps: Optional[int] = None,
+    hires_sampler: Optional[str] = None,  # sampler for the hires pass only
+    # (reference `sampler_hires` dropdown, app.py:867; None = same sampler)
+    hires_region: bool = True,  # apply region control during the hires
+    # pass (reference `hr_region_condition` checkbox, app.py:879 — its UI
+    # defaults OFF; biases are re-encoded at the target resolution when on)
     # conditioning units
     controlnet_units: Sequence[ControlNetUnit] = (),
     t2i_units: Sequence[T2IAdapterUnit] = (),
@@ -601,7 +616,10 @@ def inference(
     loras: Sequence = (),  # paths or (path, scale) pairs
     ti_embeddings: Sequence[str] = (),
     # extras
-    latent_preview: bool = False,
+    latent_preview: bool = False,  # or "base"/"hires"/"both": which
+    # pass's per-step decodes to return with hires on (the reference's
+    # independent `latent_processing` / `hr_process_enabled` checkboxes,
+    # app.py:868/874); True = "both"
     timeout: float = registry.INFERENCE_TIMEOUT_S,
     cancel_check_steps: Optional[int] = None,
     cfg_tail_frac: float = 0.0,  # run the last fraction of steps cond-only
@@ -623,8 +641,9 @@ def inference(
     every prompt is generated for each seed (``seed`` list, or
     ``num_images_per_prompt`` consecutive seeds) in one sharded program —
     prompt-major output order. This exercises the reference's multi-prompt
-    region split (encode_region_map_function.py:93-105) end-to-end; plain
-    txt2img only (no init image / units / hires in grid mode)."""
+    region split (encode_region_map_function.py:93-105) end-to-end;
+    txt2img with optional conditioning units only (no init image / hires /
+    preview in grid mode)."""
     timer = PhaseTimer()
     watchdog = Watchdog(timeout)
 
@@ -768,7 +787,11 @@ def inference(
                 masks=(
                     [
                         None if u.mask is None
-                        else _unit_batch(u.mask, unit_fan)
+                        else _unit_batch(
+                            1.0 - np.asarray(u.mask, np.float32)
+                            if u.invert_mask else u.mask,
+                            unit_fan,
+                        )
                         for u in ip_adapter_units
                     ]
                     if any(u.mask is not None for u in ip_adapter_units)
@@ -871,7 +894,11 @@ def inference(
             "antialias": antialias,
             "steps": hires_steps,
         }
-        if region_state:
+        if hires_sampler:
+            spec_hr = registry.resolve_sampler(hires_sampler)
+            hires["sampler"] = spec_hr.solver
+            hires["schedule"] = spec_hr.schedule
+        if region_state and hires_region:
             hires["region_state"] = (
                 [region_state], ids, num_images_per_prompt
             )
@@ -904,9 +931,14 @@ def inference(
     with timer.phase("sample"):
         if init_image is not None and inpaint_mask is not None:
             img = _to_pm1(init_image)[None]
+            mask = np.asarray(inpaint_mask, np.float32)
+            if invert_mask:
+                # reference: ImageOps.invert on the uploaded mask when
+                # "Black areas are used" is checked (app.py:921)
+                mask = 1.0 - mask
             out = pipe.inpaint(
                 context, jnp.asarray(img),
-                jnp.asarray(inpaint_mask[None], jnp.float32), gen,
+                jnp.asarray(mask[None], jnp.float32), gen,
                 strength=strength, seed=seed, region_biases=region_biases,
                 extras=extras, return_history=latent_preview,
             )
@@ -1051,6 +1083,19 @@ def inference(
             # spans both, model_k_diffusion.py:1221-1224)
             out, history = out
             hists = history if isinstance(history, list) else [history]
+            # the reference's base/hires preview checkboxes are
+            # independent (`latent_processing` vs `hr_process_enabled`,
+            # app.py:874/1167/1204): latent_preview may be "base",
+            # "hires", or "both" (True) to match
+            mode = (latent_preview if isinstance(latent_preview, str)
+                    else "both")
+            if mode not in ("base", "hires", "both"):
+                raise ValueError(
+                    f"latent_preview must be bool or 'base'/'hires'/"
+                    f"'both', got {latent_preview!r}"
+                )
+            if len(hists) == 2 and mode != "both":
+                hists = hists[:1] if mode == "base" else hists[1:]
             with timer.phase("preview_decode"):
                 previews = [
                     StableDiffusionTPU.to_uint8(
@@ -1142,7 +1187,9 @@ def _is_nnet_cfg(cfg) -> bool:
 
 def _maybe_preprocess(manager: ModelManager, unit) -> np.ndarray:
     if unit.preprocessor:
-        return manager.get_preprocessor(unit.preprocessor)(unit.image)
+        fn = manager.get_preprocessor(unit.preprocessor)
+        opts = getattr(unit, "preprocessor_options", None)
+        return fn(unit.image, **opts) if opts else fn(unit.image)
     img = np.asarray(unit.image)
     if img.dtype == np.uint8:
         # already-processed control maps arrive as uint8 from UIs; the

@@ -111,8 +111,9 @@ def build_ui(manager: ModelManager):
         height, seed, batch, clip_skip, encoding_mode, guidance_rescale,
         latent_preview,
         phrases_text, mask_files, weights_text, outsides_text, color_map,
-        init_image, strength, inpaint_mask,
+        init_image, strength, inpaint_mask, invert_mask,
         hires_scale, hires_strength, hires_mode, hires_steps,
+        hires_sampler, hires_region,
         *unit_inputs,
     ):
         region_state = build_region_state(
@@ -143,7 +144,7 @@ def build_ui(manager: ModelManager):
                 conditioning_factor=float(t2i_factor),
             ))
         (ip_on, ip_model, ip_image, ip_scale,
-         ip_mask) = (next(it) for _ in range(5))
+         ip_mask, ip_invert) = (next(it) for _ in range(6))
         ip_units = []
         if ip_on and ip_image is not None:
             mask = None
@@ -152,6 +153,7 @@ def build_ui(manager: ModelManager):
             ip_units.append(IPAdapterUnit(
                 model=ip_model, image=np.asarray(ip_image),
                 scale=float(ip_scale), mask=mask,
+                invert_mask=bool(ip_invert),
             ))
         loras_text, ti_text = next(it), next(it)
 
@@ -182,10 +184,14 @@ def build_ui(manager: ModelManager):
                 None if inpaint_mask is None else
                 (_gray(inpaint_mask) > 127.5).astype(np.float32)
             ),
+            invert_mask=bool(invert_mask),
             hires_scale=float(hires_scale or 0.0),
             hires_strength=float(hires_strength),
             hires_mode=hires_mode,
             hires_steps=int(hires_steps) if hires_steps else None,
+            hires_sampler=(None if hires_sampler in (None, "Same as base")
+                           else hires_sampler),
+            hires_region=bool(hires_region),
             controlnet_units=controlnet_units,
             t2i_units=t2i_units,
             ip_adapter_units=ip_units,
@@ -278,6 +284,8 @@ def build_ui(manager: ModelManager):
                                          label="Denoising strength")
                     inpaint_mask = gr.Image(
                         label="Inpaint mask (white = regenerate)")
+                    invert_mask = gr.Checkbox(
+                        label="Black areas are used", value=False)
                 with gr.Accordion("Hires fix", open=False):
                     hires_scale = gr.Slider(0.0, 4.0, value=0.0,
                                             label="Upscale (0 = off)")
@@ -290,6 +298,12 @@ def build_ui(manager: ModelManager):
                     hires_steps = gr.Number(
                         value=0, precision=0,
                         label="Hires steps (0 = same as base)")
+                    hires_sampler = gr.Dropdown(
+                        ["Same as base"] + sorted(registry.SAMPLERS),
+                        value="Same as base", label="Hires sampler")
+                    hires_region = gr.Checkbox(
+                        label="Enable region condition upscaler",
+                        value=False)
                 unit_inputs: List = []
                 for i in range(N_CONTROLNET_UNITS):
                     unit_inputs += _controlnet_unit(gr, i)
@@ -317,7 +331,10 @@ def build_ui(manager: ModelManager):
                     ip_image = gr.Image(label="Reference image")
                     ip_scale = gr.Slider(0.0, 2.0, value=1.0, label="Scale")
                     ip_mask = gr.Image(label="Spatial mask (optional)")
-                unit_inputs += [ip_on, ip_model, ip_image, ip_scale, ip_mask]
+                    ip_invert = gr.Checkbox(
+                        label="Black areas are used", value=False)
+                unit_inputs += [ip_on, ip_model, ip_image, ip_scale,
+                                ip_mask, ip_invert]
                 with gr.Accordion("LoRA / Textual inversion", open=False):
                     loras_text = gr.Textbox(
                         label="LoRA files (path or path:scale, comma "
@@ -339,7 +356,8 @@ def build_ui(manager: ModelManager):
                     guidance_rescale, latent_preview,
                     phrases_text, mask_files, weights_text, outsides_text,
                     color_map, init_image, strength, inpaint_mask,
-                    hires_scale, hires_strength, hires_mode, hires_steps]
+                    invert_mask, hires_scale, hires_strength, hires_mode,
+                    hires_steps, hires_sampler, hires_region]
                    + unit_inputs,
             outputs=[gallery, preview_gallery, timings],
         )

@@ -125,7 +125,8 @@ def _inference_kwargs(req: dict) -> dict:
             "height", "seed", "num_images_per_prompt", "clip_skip",
             "encoding_mode", "guidance_rescale", "strength",
             "hires_scale", "hires_strength", "hires_mode",
-            "hires_steps", "eta", "cancel_check_steps", "timeout",
+            "hires_steps", "hires_sampler", "hires_region", "invert_mask",
+            "eta", "cancel_check_steps", "timeout",
             "latent_preview", "cfg_tail_frac", "deepcache_interval",
             "bottleneck_low_scale",
             "tgate_gate_frac",
@@ -179,6 +180,7 @@ def _inference_kwargs(req: dict) -> dict:
                 guidance_end=float(u.get("guidance_end", 1.0)),
                 guess_mode=bool(u.get("guess_mode", False)),
                 preprocessor=u.get("preprocessor"),
+                preprocessor_options=u.get("preprocessor_options"),
             )
             for u in req["controlnet_units"]
         ]
@@ -190,6 +192,7 @@ def _inference_kwargs(req: dict) -> dict:
                 model=u["model"], image=_img(u["image"]),
                 scale=float(u.get("scale", 1.0)),
                 preprocessor=u.get("preprocessor"),
+                preprocessor_options=u.get("preprocessor_options"),
                 conditioning_factor=float(
                     u.get("conditioning_factor", 1.0)
                 ),
@@ -205,6 +208,7 @@ def _inference_kwargs(req: dict) -> dict:
                 image_embeds=_img(u.get("image_embeds")),
                 scale=float(u.get("scale", 1.0)),
                 mask=_img(u.get("mask")),
+                invert_mask=bool(u.get("invert_mask", False)),
             )
             for u in req["ip_adapter_units"]
         ]
@@ -386,8 +390,9 @@ class _Handler(BaseHTTPRequestHandler):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 img = np.asarray(req["image"], np.float32)
                 fn = self.manager.get_preprocessor(req["preprocessor"])
+                opts = req.get("options") or {}
                 with self.lock:
-                    out = fn(img)
+                    out = fn(img, **opts) if opts else fn(img)
                 self._json(200, {"image": _encode_images(
                     np.round(np.asarray(out) * 255).astype(np.uint8)[None]
                 )[0]})

@@ -1529,9 +1529,11 @@ class StableDiffusionTPU:
         (B, H, W, 3) fp32 in [-1, 1] (or raw latents with decode=False).
 
         ``hires``: optional dict(scale=2.0, strength=0.6, steps=None,
-        mode="bilinear", antialias=False) — latent upscale + recursive
-        img2img (reference: model_k_diffusion.py:1179-1226; modes
-        source/app.py:2117-2127).
+        mode="bilinear", antialias=False, sampler=None, schedule=None) —
+        latent upscale + recursive img2img (reference:
+        model_k_diffusion.py:1179-1226; modes source/app.py:2117-2127;
+        sampler/schedule override the hires pass like the reference's
+        ``sampler_hires`` dropdown, app.py:867).
 
         ``seed`` may be a list (one per batch element): each sample's
         latents/noise then depend only on its own seed, making results
@@ -1583,6 +1585,11 @@ class StableDiffusionTPU:
             gen, height=new_h * 8, width=new_w * 8,
             num_inference_steps=hires.get("steps")
             or gen.num_inference_steps,
+            # the hires pass may run a different sampler/schedule than the
+            # base pass (reference: the separate `sampler_hires` dropdown,
+            # app.py:867/1101/1187 selects it for the upscale recursion)
+            sampler=hires.get("sampler") or gen.sampler,
+            schedule=hires.get("schedule") or gen.schedule,
         )
         # Region biases are resolution-keyed; the hires pass needs them
         # re-encoded at the target size (the reference re-encodes inside

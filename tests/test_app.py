@@ -1132,3 +1132,138 @@ def test_http_server_warmup(manager):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_inference_hires_sampler_override(manager):
+    """The hires pass can run its own sampler (reference ``sampler_hires``
+    dropdown, app.py:867, selected for the upscale recursion at
+    app.py:1101/1187). Passing the base sampler explicitly is a no-op;
+    a different solver changes the hires pass."""
+    kw = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=3, seed=7,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        # strength 0.9 -> a 2-step hires pass starting at sigma_1, the one
+        # sigma that differs between schedules (a 1-step pass would start
+        # at sigma_min, identical across schedules, and a single step to
+        # sigma=0 makes Heun degenerate to Euler)
+        hires_scale=2.0, hires_strength=0.9,
+    )
+    base = inference(manager, **kw)["images"]
+    same = inference(manager, hires_sampler="Euler", **kw)["images"]
+    np.testing.assert_array_equal(base, same)
+    other = inference(manager, hires_sampler="Heun Karras", **kw)["images"]
+    assert not np.array_equal(base, other)
+
+
+def test_inference_hires_region_toggle(manager):
+    """``hires_region`` mirrors the reference's ``hr_region_condition``
+    checkbox (app.py:879): ON re-encodes the region biases at the target
+    resolution for the upscale pass, OFF runs the hires pass unbiased."""
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    kw = dict(
+        prompt="a red cat and a dog", model="tiny", sampler="Euler",
+        steps=3, seed=3, width=64, height=64, encoding_mode="short",
+        dtype=jnp.float32,
+        region_state=region_ui.build_region_state(["red cat"], [mask]),
+        # strength 0.9 -> the hires pass starts at sigma_1 ~ 1.6 where the
+        # sigma-scaled region bias is visible above uint8 quantization (a
+        # 1-step pass runs only at sigma_min ~ 0.03)
+        hires_scale=2.0, hires_strength=0.9,
+    )
+    on = inference(manager, hires_region=True, **kw)["images"]
+    off = inference(manager, hires_region=False, **kw)["images"]
+    assert on.shape == off.shape == (1, 128, 128, 3)
+    assert not np.array_equal(on, off)
+
+
+def test_inpaint_invert_mask(manager):
+    """``invert_mask`` regenerates where mask==0 (reference inverts the
+    uploaded mask when "Black areas are used" is checked, app.py:921):
+    inverting both the mask and the flag is bitwise-identical."""
+    rs = np.random.RandomState(5)
+    init = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    kw = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=3, seed=11,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        init_image=init, strength=0.8,
+    )
+    plain = inference(manager, inpaint_mask=mask, **kw)["images"]
+    flipped = inference(manager, inpaint_mask=1.0 - mask,
+                        invert_mask=True, **kw)["images"]
+    np.testing.assert_array_equal(plain, flipped)
+
+
+def test_ip_adapter_invert_mask(manager):
+    """Per-unit ``invert_mask`` applies the IP mask where it is 0
+    (reference ImageOps.invert under ``invert_ip_adapter_mask_mode``,
+    app.py:787-795): inverting both the mask and the flag is
+    bitwise-identical."""
+    from diffusionspatialcontrol_tpu.app.api import IPAdapterUnit
+
+    ref_img = (np.random.RandomState(2).rand(48, 48, 3) * 255).astype(
+        np.uint8
+    )
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :32] = 1.0
+    kw = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=2, seed=9,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+    )
+    plain = inference(
+        manager,
+        ip_adapter_units=[IPAdapterUnit(model="IP-Adapter Plus",
+                                        image=ref_img, scale=0.5,
+                                        mask=mask)],
+        **kw,
+    )["images"]
+    flipped = inference(
+        manager,
+        ip_adapter_units=[IPAdapterUnit(model="IP-Adapter Plus",
+                                        image=ref_img, scale=0.5,
+                                        mask=1.0 - mask,
+                                        invert_mask=True)],
+        **kw,
+    )["images"]
+    np.testing.assert_array_equal(plain, flipped)
+
+
+def test_preprocessor_options_canny_thresholds(manager):
+    """Per-unit ``preprocessor_options`` forward detector knobs (reference:
+    the Canny low/high threshold sliders, app.py:707-709)."""
+    rs = np.random.RandomState(1)
+    img = (rs.rand(64, 64, 3) * 255).astype(np.uint8) / 255.0
+    from diffusionspatialcontrol_tpu.app.api import _maybe_preprocess
+
+    loose = _maybe_preprocess(manager, ControlNetUnit(
+        model="Canny", image=img, preprocessor="Canny",
+        preprocessor_options={"low": 20.0, "high": 40.0}))
+    tight = _maybe_preprocess(manager, ControlNetUnit(
+        model="Canny", image=img, preprocessor="Canny",
+        preprocessor_options={"low": 200.0, "high": 250.0}))
+    assert loose.shape == tight.shape == (64, 64, 3)
+    # looser thresholds keep strictly more edge pixels
+    assert loose.sum() > tight.sum()
+
+
+def test_latent_preview_base_hires_split(manager):
+    """``latent_preview="base"/"hires"`` mirror the reference's independent
+    preview checkboxes (``latent_processing`` vs ``hr_process_enabled``,
+    app.py:868/874): each returns only that pass's per-step decodes."""
+    kw = dict(
+        prompt="a cat", model="tiny", sampler="Euler", steps=3, seed=1,
+        width=64, height=64, encoding_mode="short", dtype=jnp.float32,
+        hires_scale=2.0, hires_strength=0.5,
+    )
+    both = inference(manager, latent_preview=True, **kw)["previews"]
+    base = inference(manager, latent_preview="base", **kw)["previews"]
+    hires = inference(manager, latent_preview="hires", **kw)["previews"]
+    assert len(both) == 4 and len(base) == 3 and len(hires) == 1
+    assert base[0].shape[1:3] == (64, 64)
+    assert hires[0].shape[1:3] == (128, 128)
+    np.testing.assert_array_equal(both[0], base[0])
+    np.testing.assert_array_equal(both[-1], hires[-1])
+    with pytest.raises(ValueError):
+        inference(manager, latent_preview="nope", **kw)
