@@ -426,20 +426,44 @@ class ModelManager:
             else:
                 fn = pp.make_depth_preprocessor(params, cfg)
         elif name == "Openpose":
-            from ..models.openpose import (
-                convert_openpose_body,
-                openpose_body_init,
-            )
+            from ..models import openpose as op
 
             if path:
                 from ..convert.hf import load_state_dict
 
-                params = convert_openpose_body(load_state_dict(path),
-                                               jnp.float32)
+                params = op.convert_openpose_body(load_state_dict(path),
+                                                  jnp.float32)
             else:
-                params = openpose_body_init(jax.random.PRNGKey(0),
-                                            jnp.float32)
-            fn = pp.make_openpose_preprocessor(params, detect_res)
+                params = op.openpose_body_init(jax.random.PRNGKey(0),
+                                               jnp.float32)
+
+            # hand/face sub-nets (reference has_hand/has_face checkboxes,
+            # app.py:715): weights registered under "Openpose (hand)" /
+            # "Openpose (face)"; random-init fallback otherwise. Built
+            # lazily — only when a call passes include_hand/include_face.
+            def _sub(sub_name, convert, init):
+                sub_path = getattr(self, "_preproc_spec", {}).get(
+                    sub_name, (None,))[0]
+
+                def build():
+                    if sub_path:
+                        from ..convert.hf import load_state_dict
+
+                        return convert(load_state_dict(sub_path),
+                                       jnp.float32)
+                    return init(jax.random.PRNGKey(0), jnp.float32)
+
+                return build
+
+            fn = pp.make_openpose_preprocessor(
+                params, detect_res,
+                hand_params=_sub("Openpose (hand)",
+                                 op.convert_openpose_hand,
+                                 op.openpose_hand_init),
+                face_params=_sub("Openpose (face)",
+                                 op.convert_openpose_face,
+                                 op.openpose_face_init),
+            )
         elif name == "Semantic Segmentation":
             from ..models.upernet import (
                 UperNetConfig,
@@ -492,7 +516,22 @@ class ModelManager:
             else:
                 params = mlsd_init(jax.random.PRNGKey(0), jnp.float32)
             fn = pp.make_mlsd_preprocessor(params)
-        elif name in ("Soft Edge", "Scribble (HED)"):
+        elif name in ("Soft Edge", "Scribble (PidiNet)"):
+            # the reference's default Soft Edge / Scribble detector is
+            # PidiNet (app.py:749-753); HED is the explicit alternative.
+            from ..models.pidinet import convert_pidinet, pidinet_init
+
+            if path:
+                from ..convert.hf import load_state_dict
+
+                params = convert_pidinet(load_state_dict(path),
+                                         jnp.float32)
+            else:
+                params = pidinet_init(jax.random.PRNGKey(0), jnp.float32)
+            fn = pp.make_pidinet_preprocessor(
+                params, scribble=(name == "Scribble (PidiNet)")
+            )
+        elif name in ("Soft Edge (HED)", "Scribble (HED)"):
             from ..models.hed import convert_hed, hed_init
 
             if path:
@@ -644,6 +683,21 @@ def inference(
     region split (encode_region_map_function.py:93-105) end-to-end;
     txt2img with optional conditioning units only (no init image / hires /
     preview in grid mode)."""
+    # Validate latent_preview up front — a bad value must not surface only
+    # AFTER a full sampling run (and 'hires' previews require a hires pass).
+    if not isinstance(latent_preview, bool):
+        if latent_preview not in ("base", "hires", "both"):
+            raise ValueError(
+                f"latent_preview must be bool or 'base'/'hires'/'both', "
+                f"got {latent_preview!r}"
+            )
+        if latent_preview == "hires" and not (hires_scale
+                                              and hires_scale > 1.0):
+            raise ValueError(
+                "latent_preview='hires' requires hires upscaling "
+                "(hires_scale > 1)"
+            )
+
     timer = PhaseTimer()
     watchdog = Watchdog(timeout)
 

@@ -50,6 +50,20 @@ def _gray(img) -> np.ndarray:
     return a.mean(-1) if a.ndim == 3 else a
 
 
+def _pre_opts(pre, low, high, body=True, hand=False, face=False):
+    """preprocessor_options for a unit: Canny low/high thresholds (the
+    reference UI's per-unit threshold sliders, app.py:857-858/882-883 ->
+    cv2.Canny at app.py:662/709) and the Openpose body/hand/face
+    checkboxes (app.py:860-861 -> include_* at app.py:666/715). Other
+    preprocessors get no options."""
+    if pre == "Canny":
+        return {"low": float(low), "high": float(high)}
+    if pre == "Openpose" and (hand or face or not body):
+        return {"include_body": bool(body), "include_hand": bool(hand),
+                "include_face": bool(face)}
+    return None
+
+
 def _mask01(img) -> np.ndarray:
     """Grayscale mask -> [0, 1] float (gradio may hand back either a
     0..255 uint8 array or an already-normalized float one)."""
@@ -123,8 +137,9 @@ def build_ui(manager: ModelManager):
         it = iter(unit_inputs)
         controlnet_units = []
         for _ in range(N_CONTROLNET_UNITS):
-            (cn_on, cn_model, cn_image, cn_pre, cn_scale, cn_start,
-             cn_end, cn_guess) = (next(it) for _ in range(8))
+            (cn_on, cn_model, cn_image, cn_pre, cn_low, cn_high, cn_body,
+             cn_hand, cn_face, cn_scale, cn_start, cn_end,
+             cn_guess) = (next(it) for _ in range(13))
             if cn_on and cn_image is not None:
                 controlnet_units.append(ControlNetUnit(
                     model=cn_model, image=np.asarray(cn_image),
@@ -132,15 +147,22 @@ def build_ui(manager: ModelManager):
                     guidance_start=float(cn_start),
                     guidance_end=float(cn_end), guess_mode=bool(cn_guess),
                     preprocessor=None if cn_pre == "None" else cn_pre,
+                    preprocessor_options=_pre_opts(cn_pre, cn_low, cn_high,
+                                                   cn_body, cn_hand,
+                                                   cn_face),
                 ))
-        (t2i_on, t2i_model, t2i_image, t2i_pre, t2i_scale,
-         t2i_factor) = (next(it) for _ in range(6))
+        (t2i_on, t2i_model, t2i_image, t2i_pre, t2i_low, t2i_high,
+         t2i_body, t2i_hand, t2i_face, t2i_scale,
+         t2i_factor) = (next(it) for _ in range(11))
         t2i_units = []
         if t2i_on and t2i_image is not None:
             t2i_units.append(T2IAdapterUnit(
                 model=t2i_model, image=np.asarray(t2i_image),
                 scale=float(t2i_scale),
                 preprocessor=None if t2i_pre == "None" else t2i_pre,
+                preprocessor_options=_pre_opts(t2i_pre, t2i_low, t2i_high,
+                                               t2i_body, t2i_hand,
+                                               t2i_face),
                 conditioning_factor=float(t2i_factor),
             ))
         (ip_on, ip_model, ip_image, ip_scale,
@@ -215,11 +237,21 @@ def build_ui(manager: ModelManager):
                               label="Preprocessor")
             scale = gr.Slider(0.0, 2.0, value=1.0, label="Scale")
             with gr.Row():
+                low = gr.Slider(1, 255, value=100,
+                                label="Canny low threshold")
+                high = gr.Slider(1, 255, value=200,
+                                 label="Canny high threshold")
+            with gr.Row():
+                body = gr.Checkbox(label="Openpose body", value=True)
+                hand = gr.Checkbox(label="Openpose hand", value=False)
+                face = gr.Checkbox(label="Openpose face", value=False)
+            with gr.Row():
                 start = gr.Slider(0.0, 1.0, value=0.0,
                                   label="Guidance start")
                 end = gr.Slider(0.0, 1.0, value=1.0, label="Guidance end")
             guess = gr.Checkbox(label="Guess mode", value=False)
-        return [on, model, image, pre, scale, start, end, guess]
+        return [on, model, image, pre, low, high, body, hand, face, scale,
+                start, end, guess]
 
     with gr.Blocks(title="DiffusionSpatialControl-TPU") as demo:
         gr.Markdown("## DiffusionSpatialControl-TPU")
@@ -316,12 +348,25 @@ def build_ui(manager: ModelManager):
                     t2i_image = gr.Image(label="Conditioning image")
                     t2i_pre = gr.Dropdown(_PREPROCESSORS, value="None",
                                           label="Preprocessor")
+                    with gr.Row():
+                        t2i_low = gr.Slider(1, 255, value=100,
+                                            label="Canny low threshold")
+                        t2i_high = gr.Slider(1, 255, value=200,
+                                             label="Canny high threshold")
+                    with gr.Row():
+                        t2i_body = gr.Checkbox(label="Openpose body",
+                                               value=True)
+                        t2i_hand = gr.Checkbox(label="Openpose hand",
+                                               value=False)
+                        t2i_face = gr.Checkbox(label="Openpose face",
+                                               value=False)
                     t2i_scale = gr.Slider(0.0, 2.0, value=1.0,
                                           label="Scale")
                     t2i_factor = gr.Slider(
                         0.0, 1.0, value=1.0, label="Conditioning factor")
                 unit_inputs += [t2i_on, t2i_model, t2i_image, t2i_pre,
-                                t2i_scale, t2i_factor]
+                                t2i_low, t2i_high, t2i_body, t2i_hand,
+                                t2i_face, t2i_scale, t2i_factor]
                 with gr.Accordion("IP-Adapter", open=False):
                     ip_on = gr.Checkbox(label="Enable", value=False)
                     ip_model = gr.Dropdown(
@@ -331,8 +376,11 @@ def build_ui(manager: ModelManager):
                     ip_image = gr.Image(label="Reference image")
                     ip_scale = gr.Slider(0.0, 2.0, value=1.0, label="Scale")
                     ip_mask = gr.Image(label="Spatial mask (optional)")
+                    # default True matches the reference's IP-adapter mask
+                    # checkbox (source/app.py:2370); the inpaint checkbox
+                    # above defaults False like the reference's (:2281).
                     ip_invert = gr.Checkbox(
-                        label="Black areas are used", value=False)
+                        label="Black areas are used", value=True)
                 unit_inputs += [ip_on, ip_model, ip_image, ip_scale,
                                 ip_mask, ip_invert]
                 with gr.Accordion("LoRA / Textual inversion", open=False):

@@ -388,7 +388,7 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                img = np.asarray(req["image"], np.float32)
+                img = _image_field(req["image"])
                 fn = self.manager.get_preprocessor(req["preprocessor"])
                 opts = req.get("options") or {}
                 with self.lock:

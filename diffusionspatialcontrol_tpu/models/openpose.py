@@ -361,11 +361,16 @@ def draw_bodypose(h: int, w: int, candidate: np.ndarray,
     return canvas
 
 
-def detect_pose(params, image: np.ndarray, detect_resolution: int = 368
-                ) -> np.ndarray:
+def detect_pose(params, image: np.ndarray, detect_resolution: int = 368,
+                include_body: bool = True, include_hand: bool = False,
+                include_face: bool = False, hand_params=None,
+                face_params=None) -> np.ndarray:
     """Full detector: RGB image (H, W, 3) uint8/[0,1] -> skeleton control
     image (H, W, 3) float32 in [0, 1] (controlnet_aux OpenposeDetector
-    contract, single scale)."""
+    contract, single scale). ``include_hand``/``include_face`` add the
+    hand/face keypoint sub-detectors (the reference UI's checkboxes,
+    app.py:715) — crops located from the body pose, run through the CPM
+    hand/face nets, rendered onto the same canvas."""
     img = np.asarray(image)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
@@ -393,4 +398,341 @@ def detect_pose(params, image: np.ndarray, detect_resolution: int = 368
         candidate = candidate.copy()
         candidate[:, 0] *= w / tw
         candidate[:, 1] *= h / th
-    return draw_bodypose(h, w, candidate, subset)
+    # include_body=False (reference has_body checkbox off) still runs the
+    # body pass — hands/faces are located from it — but draws no skeleton.
+    canvas = (draw_bodypose(h, w, candidate, subset) if include_body
+              else np.zeros((h, w, 3), np.float32))
+    if (include_hand or include_face) and len(candidate):
+        if include_hand and hand_params is not None:
+            for x, y, size, is_left in hand_boxes_from_body(
+                    candidate, subset, h, w):
+                crop = img[y:y + size, x:x + size]
+                if not is_left:  # the net sees left hands; mirror rights
+                    crop = crop[:, ::-1]
+                heat = _crop_heatmaps(openpose_hand_apply, hand_params,
+                                      crop, N_HAND, HAND_BOXSIZE,
+                                      HAND_SCALES)
+                pk = peaks_from_heatmaps(heat[:, :, :21])
+                vis = pk[:, 0] >= 0
+                if not is_left:
+                    pk[vis, 0] = crop.shape[1] - 1 - pk[vis, 0]
+                pk[vis, 0] += x
+                pk[vis, 1] += y
+                draw_handpose(canvas, pk)
+        if include_face and face_params is not None:
+            for x, y, size in face_box_from_body(candidate, subset, h, w):
+                crop = img[y:y + size, x:x + size]
+                heat = _crop_heatmaps(openpose_face_apply, face_params,
+                                      crop, N_FACE, FACE_BOXSIZE,
+                                      FACE_SCALES)
+                pk = peaks_from_heatmaps(heat[:, :, :70], sigma=0.0)
+                vis = pk[:, 0] >= 0
+                pk[vis, 0] += x
+                pk[vis, 1] += y
+                draw_facepose(canvas, pk)
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# Hand / face keypoint sub-detectors (the reference UI's `has_hand` /
+# `has_face` Openpose checkboxes, source/app.py:715: controlnet_aux's
+# OpenposeDetector(include_hand=..., include_face=...) loads the
+# pytorch-openpose ``handpose_model`` (hand_pose_model.pth) and the CMU
+# facenet (facenet.pth) on top of the body model). Same CPM/VGG family as
+# the body network; built natively here with converters for those public
+# checkpoint layouts.
+# ---------------------------------------------------------------------------
+
+N_HAND = 22  # 21 hand keypoints + background
+N_FACE = 71  # 70 face keypoints + background
+
+# crop-inference protocol (pytorch-openpose Hand.__call__ scale search /
+# controlnet_aux Face); module-level so tests can shrink them
+HAND_BOXSIZE = 368
+HAND_SCALES = (0.5, 1.0, 1.5, 2.0)
+FACE_BOXSIZE = 368
+FACE_SCALES = (1.0,)
+
+# Shared VGG backbone of the hand/face CPM nets (the body net trims conv4
+# into conv4_3_CPM/conv4_4_CPM; hand/face keep the full conv4/conv5 stack).
+_CPM_BACKBONE = [
+    ("conv1_1", 3, 64, 3), ("conv1_2", 64, 64, 3), ("pool",),
+    ("conv2_1", 64, 128, 3), ("conv2_2", 128, 128, 3), ("pool",),
+    ("conv3_1", 128, 256, 3), ("conv3_2", 256, 256, 3),
+    ("conv3_3", 256, 256, 3), ("conv3_4", 256, 256, 3), ("pool",),
+    ("conv4_1", 256, 512, 3), ("conv4_2", 512, 512, 3),
+    ("conv4_3", 512, 512, 3), ("conv4_4", 512, 512, 3),
+    ("conv5_1", 512, 512, 3), ("conv5_2", 512, 512, 3),
+    ("conv5_3_CPM", 512, 128, 3),
+]
+
+
+def _cpm_stage1(n_out: int):
+    return [("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, n_out, 1)]
+
+
+def _cpm_stage_t(t: int, n_out: int):
+    lay = [(f"Mconv{i}_stage{t}", 128 + n_out if i == 1 else 128, 128, 7)
+           for i in range(1, 6)]
+    lay += [(f"Mconv6_stage{t}", 128, 128, 1),
+            (f"Mconv7_stage{t}", 128, n_out, 1)]
+    return lay
+
+
+def _hand_block_specs():
+    """pytorch-openpose ``handpose_model``: blocks model1_0 (backbone),
+    model1_1 (stage 1), model2..model6 (refinement stages)."""
+    specs = {"model1_0": _CPM_BACKBONE, "model1_1": _cpm_stage1(N_HAND)}
+    for t in range(2, 7):
+        specs[f"model{t}"] = _cpm_stage_t(t, N_HAND)
+    return specs
+
+
+def _face_specs():
+    """controlnet_aux ``FaceNet``: one flat module (state-dict keys are the
+    bare layer names, no block prefix)."""
+    lay = list(_CPM_BACKBONE) + _cpm_stage1(N_FACE)
+    for t in range(2, 7):
+        lay += _cpm_stage_t(t, N_FACE)
+    return lay
+
+
+def _cpm_init(key, specs: Dict[str, list], dtype) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for block, spec in specs.items():
+        bp = {}
+        for layer in spec:
+            if len(layer) == 1:
+                continue
+            name, in_c, out_c, k = layer
+            key, sub = jax.random.split(key)
+            fan = in_c * k * k
+            bp[name] = {
+                "kernel": (jax.random.normal(
+                    sub, (k, k, in_c, out_c), jnp.float32
+                ) / np.sqrt(fan)).astype(dtype),
+                "bias": jnp.zeros((out_c,), dtype),
+            }
+        params[block] = bp
+    return params
+
+
+def openpose_hand_init(key, dtype=jnp.float32) -> Dict[str, Any]:
+    return _cpm_init(key, _hand_block_specs(), dtype)
+
+
+def openpose_face_init(key, dtype=jnp.float32) -> Dict[str, Any]:
+    return _cpm_init(key, {"net": _face_specs()}, dtype)["net"]
+
+
+def convert_openpose_hand(sd, dtype=jnp.float32) -> Dict[str, Any]:
+    """``sd``: the pytorch-openpose ``hand_pose_model.pth`` state dict
+    (keys ``model1_0.conv1_1.weight`` ... ``model6.Mconv7_stage6.bias``)."""
+    params: Dict[str, Any] = {}
+    for block, spec in _hand_block_specs().items():
+        bp = {}
+        for layer in spec:
+            if len(layer) == 1:
+                continue
+            name = layer[0]
+            w = sd.get(f"{block}.{name}.weight")
+            b = sd.get(f"{block}.{name}.bias")
+            bp[name] = {
+                "kernel": jnp.asarray(np.transpose(np.asarray(w),
+                                                   (2, 3, 1, 0)), dtype),
+                "bias": jnp.asarray(np.asarray(b), dtype),
+            }
+        params[block] = bp
+    return params
+
+
+def convert_openpose_face(sd, dtype=jnp.float32) -> Dict[str, Any]:
+    """``sd``: the controlnet_aux ``facenet.pth`` state dict (flat keys
+    ``conv1_1.weight`` ... ``Mconv7_stage6.bias``)."""
+    params: Dict[str, Any] = {}
+    for layer in _face_specs():
+        if len(layer) == 1:
+            continue
+        name = layer[0]
+        w = sd.get(f"{name}.weight")
+        b = sd.get(f"{name}.bias")
+        params[name] = {
+            "kernel": jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)),
+                                  dtype),
+            "bias": jnp.asarray(np.asarray(b), dtype),
+        }
+    return params
+
+
+def openpose_hand_apply(params, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels: (B, H, W, 3) BGR in [-0.5, 0.5]. Returns the final-stage
+    (B, H/8, W/8, 22) keypoint heatmaps (heatmap-first stage concat, per
+    pytorch-openpose handpose_model.forward)."""
+    specs = _hand_block_specs()
+    feat = _run_block(params["model1_0"], specs["model1_0"],
+                      pixels.astype(jnp.float32), final_relu_skip=False)
+    heat = _run_block(params["model1_1"], specs["model1_1"], feat, True)
+    for t in range(2, 7):
+        x = jnp.concatenate([heat, feat], axis=-1)
+        heat = _run_block(params[f"model{t}"], specs[f"model{t}"], x, True)
+    return heat
+
+
+def openpose_face_apply(params, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels: (B, H, W, 3) BGR in [-0.5, 0.5]. Returns the final-stage
+    (B, H/8, W/8, 71) keypoint heatmaps."""
+    spec = _face_specs()
+    n_backbone = len(_CPM_BACKBONE)
+    feat = _run_block(params, spec[:n_backbone],
+                      pixels.astype(jnp.float32), final_relu_skip=False)
+    heat = _run_block(params, spec[n_backbone:n_backbone + 2], feat, True)
+    off = n_backbone + 2
+    for t in range(2, 7):
+        x = jnp.concatenate([heat, feat], axis=-1)
+        heat = _run_block(params, spec[off:off + 7], x, True)
+        off += 7
+    return heat
+
+
+# --- hand/face boxes from the body pose -----------------------------------
+
+
+def hand_boxes_from_body(candidate: np.ndarray, subset: np.ndarray,
+                         h: int, w: int) -> List[Tuple[int, int, int, bool]]:
+    """(x, y, size, is_left) square crops, one per visible forearm —
+    pytorch-openpose util.handDetect: box center extrapolated 0.33 past the
+    wrist along the elbow->wrist line, side 1.5x max(|wrist-elbow|,
+    0.9 |elbow-shoulder|), clamped, dropped under 20 px."""
+    ratio = 0.33
+    out = []
+    for person in subset:
+        for s_i, e_i, w_i, is_left in ((2, 3, 4, False), (5, 6, 7, True)):
+            idx = person[[s_i, e_i, w_i]]
+            if -1 in idx:
+                continue
+            (x1, y1), (x2, y2), (x3, y3) = (candidate[int(i), :2]
+                                            for i in idx)
+            x = x3 + ratio * (x3 - x2)
+            y = y3 + ratio * (y3 - y2)
+            d_we = np.hypot(x3 - x2, y3 - y2)
+            d_es = np.hypot(x2 - x1, y2 - y1)
+            width = 1.5 * max(d_we, 0.9 * d_es)
+            x, y = max(x - width / 2, 0.0), max(y - width / 2, 0.0)
+            width = min(width, w - x, h - y)
+            if width >= 20:
+                out.append((int(x), int(y), int(width), is_left))
+    return out
+
+
+def face_box_from_body(candidate: np.ndarray, subset: np.ndarray,
+                       h: int, w: int) -> List[Tuple[int, int, int]]:
+    """(x, y, size) square face crops from head keypoints (nose 0, eyes
+    14/15, ears 16/17): half-size = max over (3x nose-eye distance,
+    1.5x nose-ear distance) — the controlnet_aux util.faceDetect scaling."""
+    out = []
+    for person in subset:
+        if person[0] < 0:
+            continue
+        x0, y0 = candidate[int(person[0]), :2]
+        half = 0.0
+        for part, scale in ((14, 3.0), (15, 3.0), (16, 1.5), (17, 1.5)):
+            if person[part] < 0:
+                continue
+            x1, y1 = candidate[int(person[part]), :2]
+            half = max(half, scale * max(abs(x0 - x1), abs(y0 - y1)))
+        x, y = max(x0 - half, 0.0), max(y0 - half, 0.0)
+        size = min(2 * half, w - x, h - y)
+        if size >= 20:
+            out.append((int(x), int(y), int(size)))
+    return out
+
+
+# --- crop inference ---------------------------------------------------------
+
+
+def _crop_heatmaps(apply_fn, params, crop01: np.ndarray, n_parts: int,
+                   boxsize: int, scales) -> np.ndarray:
+    """Multi-scale-averaged keypoint heatmaps for one square RGB [0,1]
+    crop, upsampled to crop resolution (pytorch-openpose Hand.__call__
+    scale-search protocol; every scale is a static shape so each compiles
+    once)."""
+    side = crop01.shape[0]
+    acc = np.zeros((side, side, n_parts), np.float32)
+    for s in scales:
+        t = max(int(round(boxsize * s / 8.0)) * 8, 8)
+        small = np.asarray(jax.image.resize(
+            jnp.asarray(crop01, jnp.float32), (t, t, 3), "bilinear"))
+        bgr = small[..., ::-1] * (255.0 / 256.0) - 0.5
+        heat = jax.jit(apply_fn)(params, jnp.asarray(bgr)[None])
+        acc += np.asarray(jax.image.resize(
+            heat[0], (side, side, n_parts), "bilinear"))
+    return acc / len(scales)
+
+
+def peaks_from_heatmaps(heat: np.ndarray, thre: float = 0.05,
+                        sigma: float = 3.0) -> np.ndarray:
+    """One (x, y, score) per part channel (argmax of the blurred map;
+    (-1, -1, 0) where the peak is under threshold)."""
+    n = heat.shape[-1]
+    out = np.full((n, 3), -1.0, np.float32)
+    out[:, 2] = 0.0
+    for part in range(n):
+        m = _gaussian_blur(heat[:, :, part], sigma) if sigma else \
+            heat[:, :, part]
+        j = int(np.argmax(m))
+        y, x = divmod(j, m.shape[1])
+        if m[y, x] > thre:
+            out[part] = (x, y, heat[y, x, part])
+    return out
+
+
+# --- rendering --------------------------------------------------------------
+
+HAND_EDGES = [
+    [0, 1], [1, 2], [2, 3], [3, 4], [0, 5], [5, 6], [6, 7], [7, 8],
+    [0, 9], [9, 10], [10, 11], [11, 12], [0, 13], [13, 14], [14, 15],
+    [15, 16], [0, 17], [17, 18], [18, 19], [19, 20],
+]
+
+
+def _hsv_to_rgb(hue: float) -> np.ndarray:
+    i = int(hue * 6.0) % 6
+    f = hue * 6.0 - int(hue * 6.0)
+    q, t = 1.0 - f, f
+    table = [(1, t, 0), (q, 1, 0), (0, 1, t), (0, q, 1), (t, 0, 1),
+             (1, 0, q)]
+    return np.array(table[i], np.float32)
+
+
+def draw_handpose(canvas: np.ndarray, peaks: np.ndarray) -> None:
+    """In-place: 20 hue-coded finger edges + blue joint dots for one hand's
+    (21, 3) peak array in canvas pixel coords (controlnet_aux
+    util.draw_handpose)."""
+    h, w = canvas.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for ie, (a_i, b_i) in enumerate(HAND_EDGES):
+        a, b = peaks[a_i, :2], peaks[b_i, :2]
+        if a[0] < 0 or b[0] < 0:
+            continue
+        ab = b - a
+        denom = max(float((ab**2).sum()), 1e-8)
+        t = np.clip(((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom,
+                    0.0, 1.0)
+        d2 = (xx - (a[0] + t * ab[0]))**2 + (yy - (a[1] + t * ab[1]))**2
+        canvas[d2 <= 2.0**2] = _hsv_to_rgb(ie / len(HAND_EDGES))
+    for x, y, score in peaks:
+        if x < 0:
+            continue
+        m = (xx - x)**2 + (yy - y)**2 <= 3**2
+        canvas[m] = np.array([0.0, 0.0, 1.0], np.float32)
+
+
+def draw_facepose(canvas: np.ndarray, peaks: np.ndarray) -> None:
+    """In-place: white 3-px dots for the 70 face keypoints
+    (controlnet_aux util.draw_facepose)."""
+    h, w = canvas.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for x, y, score in peaks[:70]:
+        if x < 0:
+            continue
+        canvas[(xx - x)**2 + (yy - y)**2 <= 3**2] = 1.0

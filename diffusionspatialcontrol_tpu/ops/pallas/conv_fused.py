@@ -485,8 +485,32 @@ def _kernel_v2(xa_ref, xb_blk_ref, scale_ref, bias_ref, w_ref, cb_ref,
     # on each rolled copy (9 dots of K=C_in_t instead of 3 of K=3*C_in_t).
     import os as _os
 
-    variant = _os.environ.get("CONV_V2_VARIANT", "cast")
-    if variant == "split":
+    variant = _os.environ.get("CONV_V2_VARIANT", "dxroll")
+    if variant == "dxroll":
+        # No input shifts at all: the vertical taps are 8-aligned sublane
+        # SLICES of the offset-0 bf16 activation buffer (wp2 is a sublane
+        # multiple, so no relayout), and the two horizontal taps become
+        # fp32 rotations of the (m_t+2, C_out_t) PRODUCT — the one rotate
+        # Mosaic does support (32-bit), and only 2 of them per contraction
+        # chunk vs v1's 9. t_kx[j] = sum_ky act[j + ky*wp2] @ W[ky, kx];
+        # out[p] = sum_kx t_kx[p + kx].
+        actb = act.astype(dt)
+        c_in_t = act.shape[-1]
+        rq2 = m_t + 2
+        acc = None
+        for kx in range(3):
+            t = None
+            for ky in range(3):
+                p = jax.lax.dot_general(
+                    actb[ky * wp2: ky * wp2 + rq2],
+                    w_ref[0, ky, kx * c_in_t:(kx + 1) * c_in_t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                t = p if t is None else t + p
+            t = _roll_up(t, kx)[:m_t]
+            acc = t if acc is None else acc + t
+    elif variant == "split":
         copies = [act[:rq]] + [
             pltpu.roll(act, rows - d, 0)[:rq] for d in (1, 2)
         ]

@@ -200,14 +200,36 @@ def make_depth_preprocessor(params, cfg) -> Callable:
     return run
 
 
-def make_openpose_preprocessor(params,
-                               detect_resolution: int = 368) -> Callable:
-    """Openpose body detector closure (models/openpose.py)."""
+def make_openpose_preprocessor(params, detect_resolution: int = 368,
+                               hand_params=None,
+                               face_params=None) -> Callable:
+    """Openpose body detector closure (models/openpose.py). Per-call
+    ``include_hand``/``include_face`` kwargs (the reference UI's Openpose
+    checkboxes, app.py:715) run the CPM hand/face sub-detectors.
+    ``hand_params``/``face_params`` may be param pytrees or zero-arg
+    factories (resolved once, on the first call that needs them — the
+    sub-nets are VGG-sized, so they are not built for body-only use)."""
     from ..models.openpose import detect_pose
 
-    def run(img: np.ndarray) -> np.ndarray:
+    state = {"hand": hand_params, "face": face_params}
+
+    def _resolve(k):
+        if callable(state[k]):
+            state[k] = state[k]()
+        return state[k]
+
+    def run(img: np.ndarray, include_body: bool = True,
+            include_hand: bool = False,
+            include_face: bool = False) -> np.ndarray:
         return detect_pose(params, img,
-                           detect_resolution=detect_resolution)
+                           detect_resolution=detect_resolution,
+                           include_body=include_body,
+                           include_hand=include_hand,
+                           include_face=include_face,
+                           hand_params=_resolve("hand") if include_hand
+                           else None,
+                           face_params=_resolve("face") if include_face
+                           else None)
 
     return run
 
@@ -341,6 +363,19 @@ def make_mlsd_preprocessor(params, thr_v: float = 0.1,
     return run
 
 
+def make_pidinet_preprocessor(params, scribble: bool = False,
+                              safe: bool = False) -> Callable:
+    """PidiNet soft-edge detector closure (models/pidinet.py) — the
+    reference's DEFAULT Soft Edge / Scribble / Sketch detector
+    (PidiNetDetector, app.py:749-753; HED only when explicitly chosen)."""
+    from ..models.pidinet import detect_soft_edge
+
+    def run(img: np.ndarray) -> np.ndarray:
+        return detect_soft_edge(params, img, scribble=scribble, safe=safe)
+
+    return run
+
+
 def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
     """HED soft-edge detector closure (models/hed.py; scribble=True gives
     the binary sketch of the reference's model-based Scribble path,
@@ -362,14 +397,20 @@ def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
 #: (models/zoedepth.py), "Normal Map" (depth-gradient normals over DPT —
 #: the v1 annotator; NormalBae NNET is a documented divergence) and
 #: "Instruct Pix2Pix" (no detector: the reference feeds the raw image,
-#: app.py:702). Names match the reference UI (app.py:86-101).
+#: app.py:702). Names match the reference UI (app.py:86-101); "Soft Edge"
+#: and "Scribble (PidiNet)" run PidiNet (models/pidinet.py), the
+#: reference's default detector for those paths (app.py:749-753), with
+#: the HED variants selectable like the reference's 'HED' preprocessor
+#: dropdown.
 MODEL_BASED_PREPROCESSORS = (
-    "Depth", "Openpose", "Soft Edge", "Scribble (HED)", "Lineart",
+    "Depth", "Openpose", "Soft Edge", "Soft Edge (HED)",
+    "Scribble (PidiNet)", "Scribble (HED)", "Lineart",
     "Lineart (anime)", "MLSD", "Semantic Segmentation", "Normal Map",
     "Zoedepth", "Instruct Pix2Pix",
 )
 NATIVE_MODEL_PREPROCESSORS = (
     "Depth", "Openpose", "Semantic Segmentation", "Soft Edge",
-    "Scribble (HED)", "Lineart", "Lineart (anime)", "Instruct Pix2Pix",
-    "MLSD", "Zoedepth", "Normal Map",
+    "Soft Edge (HED)", "Scribble (PidiNet)", "Scribble (HED)", "Lineart",
+    "Lineart (anime)", "Instruct Pix2Pix", "MLSD", "Zoedepth",
+    "Normal Map",
 )

@@ -428,6 +428,22 @@ def test_http_server_units_and_preprocess(manager):
                                        "image": img})
         assert st == 200 and isinstance(out["image"], str)
 
+        # /preprocess also accepts base64 image strings like every other
+        # image-valued field, and decodes to the same control image
+        import base64 as b64
+        import io
+
+        from PIL import Image
+
+        u8 = (np.asarray(img) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(u8).save(buf, "PNG")
+        st2, out2 = post("/preprocess", {
+            "preprocessor": "Canny",
+            "image": b64.b64encode(buf.getvalue()).decode(),
+        })
+        assert st2 == 200 and isinstance(out2["image"], str)
+
         st, out = post("/generate", {
             "prompt": "a cat", "model": "tiny", "sampler": "Euler",
             "steps": 2, "width": 64, "height": 64,
@@ -858,6 +874,37 @@ def test_gradio_mask_helpers():
     # inpaint convention: white (255) = regenerate = 1
     inp = (gu._gray(np.stack([gray_u8] * 3, -1)) > 127.5).astype(np.float32)
     assert inp[0, 0] == 1.0 and inp[7, 0] == 0.0
+
+
+def test_gradio_pre_opts():
+    """Per-unit Canny threshold sliders and Openpose body/hand/face
+    checkboxes map to preprocessor_options for their preprocessor only
+    (reference app.py:857-861 -> cv2.Canny / include_* at :666/:715)."""
+    from diffusionspatialcontrol_tpu.app import gradio_ui as gu
+
+    assert gu._pre_opts("Canny", 50, 150) == {"low": 50.0, "high": 150.0}
+    assert gu._pre_opts("HED", 50, 150) is None
+    assert gu._pre_opts("None", 50, 150) is None
+    # Openpose defaults (body only) need no options dict at all
+    assert gu._pre_opts("Openpose", 50, 150) is None
+    assert gu._pre_opts("Openpose", 50, 150, True, True, False) == {
+        "include_body": True, "include_hand": True, "include_face": False}
+    assert gu._pre_opts("Openpose", 50, 150, False, False, True) == {
+        "include_body": False, "include_hand": False, "include_face": True}
+
+
+def test_latent_preview_validated_at_entry(manager):
+    """An invalid latent_preview raises BEFORE sampling (no wasted run),
+    and 'hires' previews without a hires pass are an error rather than
+    silently returning base-pass previews (ADVICE r3)."""
+    kwargs = dict(
+        model="tiny", sampler="Euler", steps=4, width=64, height=64,
+        seed=3, encoding_mode="short", dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="latent_preview"):
+        inference(manager, prompt="a cat", latent_preview="nope", **kwargs)
+    with pytest.raises(ValueError, match="hires"):
+        inference(manager, prompt="a cat", latent_preview="hires", **kwargs)
 
 
 def test_inference_tgate(manager):

@@ -140,11 +140,12 @@ def test_fused_conv_v2_nonsquare_odd_dims_multirow():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
-@pytest.mark.parametrize("variant", ["barrier", "split"])
+@pytest.mark.parametrize("variant", ["cast", "barrier", "split", "dxroll"])
 def test_fused_conv_v2_mosaic_workaround_variants(variant, monkeypatch):
-    """The env-selected Mosaic-workaround formulations (optimization
-    barrier on the cast copies; concat-free per-tap dots) compute the
-    same conv as the default "cast" path."""
+    """The env-selected formulations (lane-concat patch matrix "cast",
+    optimization-barrier'd copies, concat-free per-tap dots, and the
+    shift-free "dxroll" default — 8-aligned dy slices + two fp32 output
+    rotations) all compute the same conv."""
     monkeypatch.setenv("CONV_V2_VARIANT", variant)
     x, gn, cv, temb, skip = _setup(b=1, h=12, w=10, c_in=32, c_out=48)
     ref = (conv2d(cv, silu(group_norm(gn, x, num_groups=8)))

@@ -1153,3 +1153,451 @@ def test_normalbae_detector_and_manager():
     out = fn(img)
     assert out.shape == (50, 70, 3)
     assert np.all((out >= 0) & (out <= 1))
+
+
+# ---------------------------------------------------------------------------
+# PidiNet soft edge (the reference's default Soft Edge/Scribble/Sketch
+# detector, app.py:749-753)
+# ---------------------------------------------------------------------------
+
+
+def _pidinet_random_sd(rng):
+    """Random table5_pidinet torch-layout state dict."""
+    from diffusionspatialcontrol_tpu.models import pidinet as P
+
+    def w(*shape, scale=0.3):
+        return (rng.randn(*shape) * scale).astype(np.float32)
+
+    sd = {"init_block.weight": w(P.INPLANE, 3, 3, 3)}
+    for name, li, in_c, out_c, strided in P._BLOCKS[1:]:
+        sd[f"{name}.conv1.weight"] = w(in_c, 1, 3, 3)
+        sd[f"{name}.conv2.weight"] = w(out_c, in_c, 1, 1)
+        if strided:
+            sd[f"{name}.shortcut.weight"] = w(out_c, in_c, 1, 1)
+            sd[f"{name}.shortcut.bias"] = w(out_c)
+    for i, ch in enumerate(P.FUSE_PLANES):
+        sd[f"dilations.{i}.conv1.weight"] = w(P.DIL, ch, 1, 1)
+        sd[f"dilations.{i}.conv1.bias"] = w(P.DIL)
+        for j in (1, 2, 3, 4):
+            sd[f"dilations.{i}.conv2_{j}.weight"] = w(P.DIL, P.DIL, 3, 3,
+                                                      scale=0.1)
+        sd[f"attentions.{i}.conv1.weight"] = w(4, P.DIL, 1, 1)
+        sd[f"attentions.{i}.conv1.bias"] = w(4)
+        sd[f"attentions.{i}.conv2.weight"] = w(1, 4, 3, 3)
+        sd[f"conv_reduces.{i}.conv.weight"] = w(1, P.DIL, 1, 1)
+        sd[f"conv_reduces.{i}.conv.bias"] = w(1)
+    sd["classifier.weight"] = w(1, 4, 1, 1)
+    sd["classifier.bias"] = w(1)
+    return sd
+
+
+def _torch_pidinet_forward(sd, x_nchw):
+    """Reference-faithful torch forward of PiDiNet table5 (carv4, CDCM +
+    CSAM heads) using the ORIGINAL pixel-difference conv formulations
+    (two-conv 'cd', permuted 'ad', scattered 5x5 'rd') — validates both
+    the port and the converter's folded-kernel equivalence."""
+    import torch
+    import torch.nn.functional as F
+
+    from diffusionspatialcontrol_tpu.models import pidinet as P
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    def pdc_conv(x, w, pdc, groups=1):
+        if pdc == "cv":
+            return F.conv2d(x, w, None, padding=1, groups=groups)
+        if pdc == "cd":
+            yc = F.conv2d(x, w.sum(dim=[2, 3], keepdim=True), None,
+                          padding=0, groups=groups)
+            return F.conv2d(x, w, None, padding=1, groups=groups) - yc
+        o, i = w.shape[:2]
+        wf = w.reshape(o, i, -1)
+        if pdc == "ad":
+            w2 = (wf - wf[:, :, [3, 0, 1, 6, 4, 2, 7, 8, 5]]).reshape(
+                o, i, 3, 3)
+            return F.conv2d(x, w2, None, padding=1, groups=groups)
+        buf = torch.zeros(o, i, 25)
+        buf[:, :, [0, 2, 4, 10, 14, 20, 22, 24]] = wf[:, :, 1:]
+        buf[:, :, [6, 7, 8, 11, 13, 16, 17, 18]] = -wf[:, :, 1:]
+        return F.conv2d(x, buf.reshape(o, i, 5, 5), None, padding=2,
+                        groups=groups)
+
+    x = pdc_conv(x_nchw, t["init_block.weight"], P.PDC_TYPES[0])
+    stages = []
+    for name, li, in_c, out_c, strided in P._BLOCKS[1:]:
+        inp = F.max_pool2d(x, 2, 2) if strided else x
+        y = pdc_conv(inp, t[f"{name}.conv1.weight"], P.PDC_TYPES[li],
+                     groups=in_c)
+        y = F.conv2d(F.relu(y), t[f"{name}.conv2.weight"], None)
+        if strided:
+            inp = F.conv2d(inp, t[f"{name}.shortcut.weight"],
+                           t[f"{name}.shortcut.bias"])
+        x = inp + y
+        if name in ("block1_3", "block2_4", "block3_4", "block4_4"):
+            stages.append(x)
+    H, W = x_nchw.shape[2], x_nchw.shape[3]
+    maps = []
+    for i, s in enumerate(stages):
+        h = F.conv2d(F.relu(s), t[f"dilations.{i}.conv1.weight"],
+                     t[f"dilations.{i}.conv1.bias"])
+        h = sum(
+            F.conv2d(h, t[f"dilations.{i}.conv2_{j + 1}.weight"], None,
+                     padding=P.CDCM_DILATIONS[j],
+                     dilation=P.CDCM_DILATIONS[j])
+            for j in range(4)
+        )
+        g = F.conv2d(F.relu(h), t[f"attentions.{i}.conv1.weight"],
+                     t[f"attentions.{i}.conv1.bias"])
+        g = F.conv2d(g, t[f"attentions.{i}.conv2.weight"], None, padding=1)
+        h = h * torch.sigmoid(g)
+        e = F.conv2d(h, t[f"conv_reduces.{i}.conv.weight"],
+                     t[f"conv_reduces.{i}.conv.bias"])
+        maps.append(F.interpolate(e, (H, W), mode="bilinear",
+                                  align_corners=False))
+    fused = F.conv2d(torch.cat(maps, 1), t["classifier.weight"],
+                     t["classifier.bias"])
+    return torch.sigmoid(fused)
+
+
+def test_pidinet_matches_torch_replica():
+    import torch
+
+    from diffusionspatialcontrol_tpu.models import pidinet as P
+
+    rng = np.random.RandomState(0)
+    sd = _pidinet_random_sd(rng)
+    x = rng.rand(1, 3, 40, 48).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_pidinet_forward(sd, torch.from_numpy(x)).numpy()
+    params = P.convert_pidinet(sd)
+    got = np.asarray(P.pidinet_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_pidinet_fold_pdc_linearity():
+    """Folded kernels reproduce the two-conv cd form exactly on a delta."""
+    from diffusionspatialcontrol_tpu.models import pidinet as P
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(2, 3, 3, 3).astype(np.float32)
+    folded = P.fold_pdc(w, "cd")
+    assert folded.shape == (2, 3, 3, 3)
+    # the center tap absorbs -sum(w); all other taps unchanged
+    np.testing.assert_allclose(folded[:, :, 1, 1],
+                               w[:, :, 1, 1] - w.sum((2, 3)), rtol=1e-6)
+    np.testing.assert_array_equal(folded[:, :, 0, :], w[:, :, 0, :])
+    rd = P.fold_pdc(w, "rd")
+    assert rd.shape == (2, 3, 5, 5)
+    np.testing.assert_allclose(rd.sum((2, 3)), np.zeros((2, 3)),
+                               atol=1e-5)
+
+
+def test_pidinet_detector_and_manager():
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+    from diffusionspatialcontrol_tpu.models import pidinet as P
+
+    params = P.pidinet_init(jax.random.PRNGKey(0))
+    img = (np.random.RandomState(2).rand(50, 70, 3) * 255).astype(np.uint8)
+    out = P.detect_soft_edge(params, img)
+    assert out.shape == (50, 70, 3)
+    assert np.all((out >= 0) & (out <= 1))
+    scrib = P.detect_soft_edge(params, img, scribble=True)
+    assert set(np.unique(scrib)).issubset({0.0, 1.0})
+    safe = P.detect_soft_edge(params, img, safe=True)
+    assert set(np.round(np.unique(safe * 2), 6)).issubset({0.0, 1.0, 2.0})
+
+    m = ModelManager(dtype=jnp.float32)
+    # "Soft Edge" now routes to PidiNet (reference default), the HED
+    # variant stays available under the explicit name
+    soft = m.get_preprocessor("Soft Edge")(img)
+    assert soft.shape == (50, 70, 3)
+    hed = m.get_preprocessor("Soft Edge (HED)")(img)
+    assert hed.shape == (50, 70, 3)
+    scrib2 = m.get_preprocessor("Scribble (PidiNet)")(img)
+    assert set(np.unique(scrib2)).issubset({0.0, 1.0})
+
+
+# ---------------------------------------------------------------------------
+# Openpose hand / face sub-detectors (the reference's has_hand/has_face
+# checkboxes, app.py:860-861 -> controlnet_aux include_hand/include_face)
+# ---------------------------------------------------------------------------
+
+
+def _cpm_random_sd(rng, keys_and_shapes):
+    """Fan-in-scaled random weights: ~90 stacked convs must keep O(1)
+    activations or fp32 rounding drift swamps the comparison."""
+    out = {}
+    for name, shape in keys_and_shapes:
+        fan = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        out[name] = (rng.randn(*shape) * (1.2 / np.sqrt(fan))).astype(
+            np.float32)
+    return out
+
+
+def _hand_sd(rng):
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    items = []
+    for block, spec in op._hand_block_specs().items():
+        for layer in spec:
+            if len(layer) == 1:
+                continue
+            name, in_c, out_c, k = layer
+            items.append((f"{block}.{name}.weight", (out_c, in_c, k, k)))
+            items.append((f"{block}.{name}.bias", (out_c,)))
+    return _cpm_random_sd(rng, items)
+
+
+def _torch_hand_forward(sd, x):
+    """Independent torch forward of the pytorch-openpose handpose_model
+    (backbone model1_0, stage-1 model1_1, refinement model2..model6 on
+    cat([heatmap, features]); ReLU everywhere except each stage's final
+    1x1)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    def c(prefix, name, h, relu=True):
+        w = t[f"{prefix}.{name}.weight"]
+        h = F.conv2d(h, w, t[f"{prefix}.{name}.bias"],
+                     padding=(w.shape[-1] - 1) // 2)
+        return F.relu(h) if relu else h
+
+    h = x
+    for name in ("conv1_1", "conv1_2"):
+        h = c("model1_0", name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv2_1", "conv2_2"):
+        h = c("model1_0", name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv3_1", "conv3_2", "conv3_3", "conv3_4"):
+        h = c("model1_0", name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv4_1", "conv4_2", "conv4_3", "conv4_4",
+                 "conv5_1", "conv5_2", "conv5_3_CPM"):
+        h = c("model1_0", name, h)
+    feat = h
+    h = c("model1_1", "conv6_1_CPM", feat)
+    h = c("model1_1", "conv6_2_CPM", h, relu=False)
+    for s in range(2, 7):
+        h = torch.cat([h, feat], dim=1)
+        for i in range(1, 7):
+            h = c(f"model{s}", f"Mconv{i}_stage{s}", h)
+        h = c(f"model{s}", f"Mconv7_stage{s}", h, relu=False)
+    return h
+
+
+def test_openpose_hand_matches_torch_replica():
+    import torch
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    rng = np.random.RandomState(0)
+    sd = _hand_sd(rng)
+    x = rng.rand(1, 3, 48, 40).astype(np.float32) - 0.5
+    with torch.no_grad():
+        want = _torch_hand_forward(sd, torch.from_numpy(x)).numpy()
+    params = op.convert_openpose_hand(hf.StateDict(sd))
+    got = np.asarray(op.openpose_hand_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape == (1, 22, 6, 5)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+def _face_sd(rng):
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    items = []
+    for layer in op._face_specs():
+        if len(layer) == 1:
+            continue
+        name, in_c, out_c, k = layer
+        items.append((f"{name}.weight", (out_c, in_c, k, k)))
+        items.append((f"{name}.bias", (out_c,)))
+    return _cpm_random_sd(rng, items)
+
+
+def _torch_face_forward(sd, x):
+    """Independent torch forward of controlnet_aux's FaceNet (same CPM
+    topology as the hand net, 71 maps, flat attribute names)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    def c(name, h, relu=True):
+        w = t[f"{name}.weight"]
+        h = F.conv2d(h, w, t[f"{name}.bias"],
+                     padding=(w.shape[-1] - 1) // 2)
+        return F.relu(h) if relu else h
+
+    h = x
+    for name in ("conv1_1", "conv1_2"):
+        h = c(name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv2_1", "conv2_2"):
+        h = c(name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv3_1", "conv3_2", "conv3_3", "conv3_4"):
+        h = c(name, h)
+    h = F.max_pool2d(h, 2, 2)
+    for name in ("conv4_1", "conv4_2", "conv4_3", "conv4_4",
+                 "conv5_1", "conv5_2", "conv5_3_CPM"):
+        h = c(name, h)
+    feat = h
+    h = c("conv6_1_CPM", feat)
+    h = c("conv6_2_CPM", h, relu=False)
+    for s in range(2, 7):
+        h = torch.cat([h, feat], dim=1)
+        for i in range(1, 7):
+            h = c(f"Mconv{i}_stage{s}", h)
+        h = c(f"Mconv7_stage{s}", h, relu=False)
+    return h
+
+
+def test_openpose_face_matches_torch_replica():
+    import torch
+
+    from diffusionspatialcontrol_tpu.convert import hf
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    rng = np.random.RandomState(1)
+    sd = _face_sd(rng)
+    x = rng.rand(1, 3, 40, 48).astype(np.float32) - 0.5
+    with torch.no_grad():
+        want = _torch_face_forward(sd, torch.from_numpy(x)).numpy()
+    params = op.convert_openpose_face(hf.StateDict(sd))
+    got = np.asarray(op.openpose_face_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape == (1, 71, 5, 6)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+def test_hand_face_boxes_from_body():
+    """handDetect geometry: box center 0.33 past the wrist along
+    elbow->wrist, side 1.5x the forearm; face box from nose/eye/ear
+    spans."""
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    # one person: nose 0, neck 1, right arm (2, 3, 4), right eye 14
+    candidate = np.array([
+        [50.0, 20.0, 1.0, 0],   # 0 nose
+        [50.0, 40.0, 1.0, 1],   # 1 neck
+        [30.0, 40.0, 1.0, 2],   # 2 r shoulder
+        [30.0, 70.0, 1.0, 3],   # 3 r elbow
+        [30.0, 100.0, 1.0, 4],  # 4 r wrist
+        [45.0, 15.0, 1.0, 5],   # 14 r eye (row 5)
+    ])
+    person = -np.ones(20)
+    person[0], person[1], person[2], person[3], person[4] = 0, 1, 2, 3, 4
+    person[14] = 5
+    subset = np.array([person])
+
+    boxes = op.hand_boxes_from_body(candidate, subset, 200, 200)
+    assert len(boxes) == 1
+    x, y, size, is_left = boxes[0]
+    assert not is_left
+    # forearm length 30 -> width 45; center (30, 100 + 0.33*30 = 109.9)
+    assert size == 45
+    assert abs((x + size / 2) - 30) <= 1.5
+    assert abs((y + size / 2) - 109.9) <= 1.5
+
+    faces = op.face_box_from_body(candidate, subset, 200, 200)
+    assert len(faces) == 1
+    fx, fy, fsize = faces[0]
+    # nose-eye max-axis distance 5 -> half 15 -> size 30 around the nose
+    assert fsize == 30
+    assert abs((fx + fsize / 2) - 50) <= 1.5
+    assert abs((fy + fsize / 2) - 20) <= 1.5
+
+    # arms/head below the 20 px floor are dropped
+    tiny = candidate.copy()
+    tiny[:, :2] *= 0.05
+    assert op.hand_boxes_from_body(tiny, subset, 200, 200) == []
+    assert op.face_box_from_body(tiny, subset, 200, 200) == []
+
+
+def test_openpose_hand_face_end_to_end(monkeypatch):
+    """detect_pose(include_hand/include_face) with a synthetic body pose:
+    crops run through the (random-init) sub-nets and keypoints land on
+    the canvas inside the crop regions."""
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    # tiny crop protocol so the CPU forward stays cheap
+    monkeypatch.setattr(op, "HAND_BOXSIZE", 32)
+    monkeypatch.setattr(op, "HAND_SCALES", (1.0,))
+    monkeypatch.setattr(op, "FACE_BOXSIZE", 32)
+
+    hand_params = op.openpose_hand_init(jax.random.PRNGKey(1))
+    img = (np.random.RandomState(2).rand(120, 120, 3) * 255).astype(
+        np.uint8)
+
+    # bypass the body pass: paint peaks via a stub that returns our pose
+    candidate = np.array([
+        [60.0, 20.0, 1.0, 0],
+        [60.0, 40.0, 1.0, 1],
+        [40.0, 40.0, 1.0, 2],
+        [40.0, 60.0, 1.0, 3],
+        [40.0, 80.0, 1.0, 4],
+    ])
+    person = -np.ones(20)
+    person[:5] = [0, 1, 2, 3, 4]
+    subset = np.array([person])
+
+    boxes = op.hand_boxes_from_body(candidate, subset, 120, 120)
+    assert boxes, "synthetic pose must yield a hand box"
+    x, y, size, is_left = boxes[0]
+    crop = img[y:y + size, x:x + size].astype(np.float32) / 255.0
+    heat = op._crop_heatmaps(op.openpose_hand_apply, hand_params, crop,
+                             op.N_HAND, op.HAND_BOXSIZE, op.HAND_SCALES)
+    assert heat.shape == (size, size, op.N_HAND)
+    pk = op.peaks_from_heatmaps(heat[:, :, :21])
+    assert pk.shape == (21, 3)
+    vis = pk[:, 0] >= 0
+    assert np.all(pk[vis, 0] < size) and np.all(pk[vis, 1] < size)
+
+    canvas = np.zeros((120, 120, 3), np.float32)
+    pk2 = pk.copy()
+    pk2[vis, 0] += x
+    pk2[vis, 1] += y
+    op.draw_handpose(canvas, pk2)
+    if vis.any():
+        assert canvas.sum() > 0
+
+    face_params = op.openpose_face_init(jax.random.PRNGKey(2))
+    canvas2 = np.zeros((120, 120, 3), np.float32)
+    fpk = op.peaks_from_heatmaps(
+        op._crop_heatmaps(op.openpose_face_apply, face_params, crop,
+                          op.N_FACE, op.FACE_BOXSIZE, op.FACE_SCALES)
+        [:, :, :70], sigma=0.0)
+    op.draw_facepose(canvas2, fpk)
+    assert canvas2.shape == (120, 120, 3)
+
+
+def test_manager_openpose_include_options(monkeypatch):
+    """The Openpose preprocessor closure accepts the reference's
+    include_body/include_hand/include_face options via
+    preprocessor_options; sub-nets build lazily."""
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    monkeypatch.setattr(op, "HAND_BOXSIZE", 32)
+    monkeypatch.setattr(op, "HAND_SCALES", (1.0,))
+    monkeypatch.setattr(op, "FACE_BOXSIZE", 32)
+
+    m = ModelManager(dtype=jnp.float32)
+    m.register_preprocessor("Openpose", detect_resolution=64)
+    fn = m.get_preprocessor("Openpose")
+    img = (np.random.RandomState(3).rand(80, 64, 3) * 255).astype(np.uint8)
+    out = fn(img)  # body only, no sub-nets built
+    assert out.shape == (80, 64, 3)
+    out2 = fn(img, include_body=False, include_hand=True,
+              include_face=True)
+    assert out2.shape == (80, 64, 3)
+    assert np.all((out2 >= 0) & (out2 <= 1))
