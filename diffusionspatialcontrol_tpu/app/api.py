@@ -353,6 +353,13 @@ class ModelManager:
         self._preproc_spec = getattr(self, "_preproc_spec", {})
         self._preproc_spec[name] = (path, cfg, detect_resolution)
         self._adapters.pop(f"preproc::{name}", None)
+        if "(" in name:
+            # sub-net registration ("Openpose (hand)"/"(face)"): the parent
+            # closure may have already built a random-init sub-net — drop
+            # it so the next get_preprocessor() picks up the new weights
+            self._adapters.pop(
+                f"preproc::{name.split(' (', 1)[0]}", None
+            )
 
     def get_preprocessor(self, name: str):
         """Callable (H, W, 3) image -> (H, W, 3) [0,1] control image.
@@ -442,10 +449,13 @@ class ModelManager:
             # "Openpose (face)"; random-init fallback otherwise. Built
             # lazily — only when a call passes include_hand/include_face.
             def _sub(sub_name, convert, init):
-                sub_path = getattr(self, "_preproc_spec", {}).get(
-                    sub_name, (None,))[0]
-
                 def build():
+                    # read the LIVE spec: a sub-net registered after the
+                    # parent "Openpose" closure was cached must still be
+                    # picked up (register_preprocessor also invalidates
+                    # the parent closure for the already-built case)
+                    sub_path = getattr(self, "_preproc_spec", {}).get(
+                        sub_name, (None,))[0]
                     if sub_path:
                         from ..convert.hf import load_state_dict
 
@@ -521,16 +531,27 @@ class ModelManager:
             # PidiNet (app.py:749-753); HED is the explicit alternative.
             from ..models.pidinet import convert_pidinet, pidinet_init
 
+            scribble = name == "Scribble (PidiNet)"
             if path:
                 from ..convert.hf import load_state_dict
 
-                params = convert_pidinet(load_state_dict(path),
-                                         jnp.float32)
+                sd = load_state_dict(path)
+                if ("init_block.weight" not in sd.tensors
+                        and "block1.convs.0.weight" in sd.tensors):
+                    # HED-layout weights registered under the PidiNet slot
+                    # (valid before "Soft Edge" switched default detectors):
+                    # route to the HED detector instead of raising KeyError
+                    from ..models.hed import convert_hed
+
+                    fn = pp.make_hed_preprocessor(
+                        convert_hed(sd, jnp.float32), scribble=scribble
+                    )
+                    self._adapters[key] = fn
+                    return fn
+                params = convert_pidinet(sd, jnp.float32)
             else:
                 params = pidinet_init(jax.random.PRNGKey(0), jnp.float32)
-            fn = pp.make_pidinet_preprocessor(
-                params, scribble=(name == "Scribble (PidiNet)")
-            )
+            fn = pp.make_pidinet_preprocessor(params, scribble=scribble)
         elif name in ("Soft Edge (HED)", "Scribble (HED)"):
             from ..models.hed import convert_hed, hed_init
 

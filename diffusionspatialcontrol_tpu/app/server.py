@@ -389,6 +389,15 @@ class _Handler(BaseHTTPRequestHandler):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 img = _image_field(req["image"])
+                # detector contract: uint8 0..255 RGB. base64 uploads
+                # decode to float32 0..255 and may be grayscale 2-D;
+                # JSON-list uploads may use the [0, 1] float convention —
+                # normalize all of them here.
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                if img.max() <= 1.0:
+                    img = img * 255.0
+                img = np.clip(np.round(img), 0, 255).astype(np.uint8)
                 fn = self.manager.get_preprocessor(req["preprocessor"])
                 opts = req.get("options") or {}
                 with self.lock:

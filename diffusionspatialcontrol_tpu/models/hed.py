@@ -117,5 +117,9 @@ def detect_edges(params, image: np.ndarray, scribble: bool = False
     edge = 1.0 / (1.0 + np.exp(-np.mean(np.stack(edges), axis=0)))
     edge = edge[:h, :w]
     if scribble:
-        edge = np.where(edge > 0.1, 1.0, 0.0)
+        # controlnet_aux HEDdetector's scribble branch is the same
+        # nms(127, 3) + blur + 4/255-binarize pass PidiNet uses
+        from .pidinet import _nms_thin
+
+        edge = _nms_thin(edge)
     return np.stack([edge.astype(np.float32)] * 3, -1)

@@ -324,6 +324,41 @@ def assemble_subsets(all_peaks, connection_all, special_k):
     return subset[keep], candidate
 
 
+def _segment_window(h: int, w: int, a: np.ndarray, b: np.ndarray,
+                    r: float):
+    """Local-window mask for a thick segment (capsule of radius ``r``
+    around ab): ``(y0, y1, x0, x1, mask)`` or None when off-canvas. The
+    distance-field math matches the previous full-canvas rasterization
+    bit for bit; restricting it to the segment's bounding box makes each
+    stick O(drawn area) instead of O(H*W)."""
+    x0 = max(int(np.floor(min(a[0], b[0]) - r)), 0)
+    x1 = min(int(np.ceil(max(a[0], b[0]) + r)) + 1, w)
+    y0 = max(int(np.floor(min(a[1], b[1]) - r)), 0)
+    y1 = min(int(np.ceil(max(a[1], b[1]) + r)) + 1, h)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    ab = b - a
+    denom = max(float((ab ** 2).sum()), 1e-8)
+    t = np.clip(((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom,
+                0.0, 1.0)
+    d2 = (xx - (a[0] + t * ab[0])) ** 2 + (yy - (a[1] + t * ab[1])) ** 2
+    return y0, y1, x0, x1, d2 <= r * r
+
+
+def _disk_window(h: int, w: int, x: float, y: float, r: float):
+    """Local-window mask for a filled disk: same contract as
+    :func:`_segment_window`."""
+    x0 = max(int(np.floor(x - r)), 0)
+    x1 = min(int(np.ceil(x + r)) + 1, w)
+    y0 = max(int(np.floor(y - r)), 0)
+    y1 = min(int(np.ceil(y + r)) + 1, h)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    return y0, y1, x0, x1, (xx - x) ** 2 + (yy - y) ** 2 <= r * r
+
+
 def draw_bodypose(h: int, w: int, candidate: np.ndarray,
                   subset: np.ndarray) -> np.ndarray:
     """Render the skeleton (controlnet_aux util.draw_bodypose: 17 limb
@@ -331,7 +366,6 @@ def draw_bodypose(h: int, w: int, candidate: np.ndarray,
     Returns (h, w, 3) float32 in [0, 1]."""
     canvas = np.zeros((h, w, 3), np.float32)
     stickwidth = 4
-    yy, xx = np.mgrid[0:h, 0:w]
     for k in range(17):
         for person in subset:
             idx = person[np.array(LIMB_SEQ[k]) - 1]
@@ -339,25 +373,26 @@ def draw_bodypose(h: int, w: int, candidate: np.ndarray,
                 continue
             a = candidate[int(idx[0]), :2]
             b = candidate[int(idx[1]), :2]
-            # thick segment: distance from pixel to the ab segment
-            ab = b - a
-            denom = max((ab**2).sum(), 1e-8)
-            t = ((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom
-            t = np.clip(t, 0.0, 1.0)
-            px = a[0] + t * ab[0]
-            py = a[1] + t * ab[1]
-            d2 = (xx - px) ** 2 + (yy - py) ** 2
-            m = d2 <= stickwidth**2
+            win = _segment_window(h, w, a, b, stickwidth)
+            if win is None:
+                continue
+            y0, y1, x0, x1, m = win
             color = np.array(_COLORS[k], np.float32) / 255.0 * 0.6
-            canvas[m] = np.maximum(canvas[m], color)
+            view = canvas[y0:y1, x0:x1]
+            view[m] = np.maximum(view[m], color)
     for part in range(18):
         for person in subset:
             idx = int(person[part])
             if idx == -1:
                 continue
             x, y = candidate[idx, :2]
-            m = (xx - x) ** 2 + (yy - y) ** 2 <= 4**2
-            canvas[m] = np.array(_COLORS[part], np.float32) / 255.0
+            win = _disk_window(h, w, x, y, 4)
+            if win is None:
+                continue
+            y0, y1, x0, x1, m = win
+            canvas[y0:y1, x0:x1][m] = (
+                np.array(_COLORS[part], np.float32) / 255.0
+            )
     return canvas
 
 
@@ -372,7 +407,10 @@ def detect_pose(params, image: np.ndarray, detect_resolution: int = 368,
     app.py:715) — crops located from the body pose, run through the CPM
     hand/face nets, rendered onto the same canvas."""
     img = np.asarray(image)
-    if img.dtype == np.uint8:
+    if img.dtype == np.uint8 or img.max() > 1.0:
+        # accept uint8 AND 0..255 floats (base64 HTTP uploads decode to
+        # float32 0..255) — a dtype-only check would feed the CPM nets
+        # values ~253 instead of [-0.5, 0.5]
         img = img.astype(np.float32) / 255.0
     h, w = img.shape[:2]
     scale = detect_resolution / max(h, w)
@@ -709,30 +747,34 @@ def draw_handpose(canvas: np.ndarray, peaks: np.ndarray) -> None:
     (21, 3) peak array in canvas pixel coords (controlnet_aux
     util.draw_handpose)."""
     h, w = canvas.shape[:2]
-    yy, xx = np.mgrid[0:h, 0:w]
     for ie, (a_i, b_i) in enumerate(HAND_EDGES):
         a, b = peaks[a_i, :2], peaks[b_i, :2]
         if a[0] < 0 or b[0] < 0:
             continue
-        ab = b - a
-        denom = max(float((ab**2).sum()), 1e-8)
-        t = np.clip(((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom,
-                    0.0, 1.0)
-        d2 = (xx - (a[0] + t * ab[0]))**2 + (yy - (a[1] + t * ab[1]))**2
-        canvas[d2 <= 2.0**2] = _hsv_to_rgb(ie / len(HAND_EDGES))
+        win = _segment_window(h, w, a, b, 2.0)
+        if win is None:
+            continue
+        y0, y1, x0, x1, m = win
+        canvas[y0:y1, x0:x1][m] = _hsv_to_rgb(ie / len(HAND_EDGES))
     for x, y, score in peaks:
         if x < 0:
             continue
-        m = (xx - x)**2 + (yy - y)**2 <= 3**2
-        canvas[m] = np.array([0.0, 0.0, 1.0], np.float32)
+        win = _disk_window(h, w, x, y, 3)
+        if win is None:
+            continue
+        y0, y1, x0, x1, m = win
+        canvas[y0:y1, x0:x1][m] = np.array([0.0, 0.0, 1.0], np.float32)
 
 
 def draw_facepose(canvas: np.ndarray, peaks: np.ndarray) -> None:
     """In-place: white 3-px dots for the 70 face keypoints
     (controlnet_aux util.draw_facepose)."""
     h, w = canvas.shape[:2]
-    yy, xx = np.mgrid[0:h, 0:w]
     for x, y, score in peaks[:70]:
         if x < 0:
             continue
-        canvas[(xx - x)**2 + (yy - y)**2 <= 3**2] = 1.0
+        win = _disk_window(h, w, x, y, 3)
+        if win is None:
+            continue
+        y0, y1, x0, x1, m = win
+        canvas[y0:y1, x0:x1][m] = 1.0

@@ -278,12 +278,32 @@ def pidinet_apply(params, pixels: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.sigmoid(fused)
 
 
+def _gauss_blur(y: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur matching cv2.GaussianBlur(x, (0, 0), s) on
+    float input: kernel radius 4*sigma (cv2's ksize rule for non-u8
+    depths), BORDER_REFLECT_101 padding (np.pad mode='reflect')."""
+    h, w = y.shape
+    r = max(int(round(4.0 * sigma)), 1)
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-(xs ** 2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    pad = np.pad(y, ((r, r), (0, 0)), mode="reflect")
+    y = np.einsum("k,kij->ij", k,
+                  np.stack([pad[i:i + h] for i in range(2 * r + 1)]))
+    pad = np.pad(y, ((0, 0), (r, r)), mode="reflect")
+    return np.einsum("k,kij->ij", k,
+                     np.stack([pad[:, i:i + w] for i in range(2 * r + 1)]))
+
+
 def _nms_thin(edge: np.ndarray) -> np.ndarray:
-    """Directional non-max suppression + binarize, the controlnet_aux
-    ``nms(x, 127, 3)`` + blur + threshold scribble post-pass, cv2-free:
-    keep pixels that are the max of their 3-px line in any of the 4
-    directions and clear the rest, then threshold."""
-    e = edge.astype(np.float32)
+    """The controlnet_aux scribble post-pass, cv2-free and step-exact:
+    ``nms(x, 127, 3)`` = Gaussian-blur sigma 3, keep pixels that are the
+    max of their 3-px line in any of 4 directions (3x3 dilate == x), hard
+    BINARIZE at 127/255 -> {0, 1}; then blur the binary map (sigma 3) and
+    re-binarize at 4/255. The earlier version skipped the pre-blur and the
+    127 binarize, letting weak ridges the reference zeroes out survive as
+    dense scribble lines."""
+    e = _gauss_blur(edge.astype(np.float32), 3.0)
     p = np.pad(e, 1, mode="edge")
     h, w = e.shape
     lines = [
@@ -295,19 +315,8 @@ def _nms_thin(edge: np.ndarray) -> np.ndarray:
     keep = np.zeros_like(e, bool)
     for m in lines:
         keep |= e >= m
-    y = np.where(keep, e, 0.0)
-    # light blur (the reference's GaussianBlur sigma 3) then hard threshold
-    r = 3
-    xs = np.arange(-r, r + 1, dtype=np.float32)
-    k = np.exp(-(xs ** 2) / 18.0)
-    k /= k.sum()
-    pad = np.pad(y, ((r, r), (0, 0)), mode="edge")
-    y = np.einsum("k,kij->ij", k,
-                  np.stack([pad[i:i + h] for i in range(2 * r + 1)]))
-    pad = np.pad(y, ((0, 0), (r, r)), mode="edge")
-    y = np.einsum("k,kij->ij", k,
-                  np.stack([pad[:, i:i + w] for i in range(2 * r + 1)]))
-    return (y > 4.0 / 255.0).astype(np.float32)
+    z = (np.where(keep, e, 0.0) > 127.0 / 255.0).astype(np.float32)
+    return (_gauss_blur(z, 3.0) > 4.0 / 255.0).astype(np.float32)
 
 
 def detect_soft_edge(params, image: np.ndarray, scribble: bool = False,

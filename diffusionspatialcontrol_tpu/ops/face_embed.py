@@ -49,7 +49,7 @@ def embed_face(image: np.ndarray) -> np.ndarray:
     the insightface contract documented above for offline testing.
     """
     img = np.asarray(image)
-    if img.dtype == np.uint8:
+    if img.dtype == np.uint8 or img.max() > 1.0:
         img = img.astype(np.float32) / 255.0
     img = img.astype(np.float32)
     if img.ndim != 3 or img.shape[-1] != 3:

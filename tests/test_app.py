@@ -443,6 +443,24 @@ def test_http_server_units_and_preprocess(manager):
             "image": b64.b64encode(buf.getvalue()).decode(),
         })
         assert st2 == 200 and isinstance(out2["image"], str)
+        # the base64 (0..255) and JSON-list ([0,1]) uploads of the SAME
+        # uint8 image must produce the same control image (the 0..255
+        # floats used to bypass detector normalization)
+        st_l, out_l = post("/preprocess", {
+            "preprocessor": "Canny", "image": (u8 / 255.0).tolist(),
+        })
+        assert st_l == 200 and out_l["image"] == out2["image"]
+
+        # grayscale base64 uploads are expanded to RGB, and model-based
+        # detectors get in-range inputs (both 500'd before round 4)
+        manager.register_preprocessor("Openpose", detect_resolution=64)
+        buf_l = io.BytesIO()
+        Image.fromarray(u8[..., 0], mode="L").save(buf_l, "PNG")
+        st3, out3 = post("/preprocess", {
+            "preprocessor": "Openpose",
+            "image": b64.b64encode(buf_l.getvalue()).decode(),
+        })
+        assert st3 == 200 and isinstance(out3["image"], str)
 
         st, out = post("/generate", {
             "prompt": "a cat", "model": "tiny", "sampler": "Euler",

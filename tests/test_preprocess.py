@@ -1601,3 +1601,145 @@ def test_manager_openpose_include_options(monkeypatch):
               include_face=True)
     assert out2.shape == (80, 64, 3)
     assert np.all((out2 >= 0) & (out2 <= 1))
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes: scribble NMS parity, 0..255-float inputs, local
+# rasterization windows, preprocessor cache invalidation, layout sniffing
+# ---------------------------------------------------------------------------
+
+
+def test_nms_thin_binarizes_like_reference():
+    """controlnet_aux nms(x, 127, 3) hard-binarizes at 127/255 BEFORE the
+    final blur: weak ridges must vanish entirely; strong wide ridges
+    survive as full-strength lines."""
+    from diffusionspatialcontrol_tpu.models.pidinet import _nms_thin
+
+    strong = np.zeros((40, 60), np.float32)
+    strong[:, 26:34] = 1.0  # 8-px ridge keeps ~0.9 peak after sigma-3 blur
+    out = _nms_thin(strong)
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+    assert out[20, 28:32].max() == 1.0
+
+    weak = np.zeros((40, 60), np.float32)
+    weak[:, 26:34] = 0.35  # above the final 4/255 threshold, but the
+    # blurred ridge peaks below 127/255 -> the binarize zeroes it all
+    assert _nms_thin(weak).sum() == 0.0
+
+
+def test_gauss_blur_kernel_width():
+    """The blur matches cv2.GaussianBlur(x, (0,0), 3) on floats: radius
+    4*sigma (not a 1-sigma truncation), unit DC gain."""
+    from diffusionspatialcontrol_tpu.models.pidinet import _gauss_blur
+
+    ones = np.ones((30, 30), np.float32)
+    np.testing.assert_allclose(_gauss_blur(ones, 3.0), ones, atol=1e-5)
+    imp = np.zeros((31, 31), np.float32)
+    imp[15, 15] = 1.0
+    out = _gauss_blur(imp, 3.0)
+    # a sigma-3 Gaussian has visible mass 10 px out (4-sigma support);
+    # the old 1-sigma kernel was exactly zero past 3 px
+    assert out[15, 25] > 0.0
+    np.testing.assert_allclose(out.sum(), 1.0, atol=1e-5)
+
+
+def test_openpose_accepts_0_255_floats():
+    """base64 HTTP uploads decode to float32 0..255; detect_pose must
+    treat them like uint8 (a dtype-only check fed the net ~253s)."""
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    params = op.openpose_body_init(jax.random.PRNGKey(0), jnp.float32)
+    img8 = (np.random.RandomState(5).rand(64, 48, 3) * 255).astype(np.uint8)
+    a = op.detect_pose(params, img8, detect_resolution=48)
+    b = op.detect_pose(params, img8.astype(np.float32),
+                       detect_resolution=48)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_draw_windows_match_full_canvas():
+    """The local-window rasterizers (bounded cost per primitive) produce
+    bit-identical masks to the previous full-canvas distance fields."""
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    h, w = 30, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    # disks, including one clipped at the canvas edge and one off-canvas
+    canvas = np.zeros((h, w, 3), np.float32)
+    pts = np.array([[5.2, 7.8, 1.0], [39.0, 29.0, 1.0], [-1.0, -1.0, 0.0]])
+    op.draw_facepose(canvas, pts)
+    ref = np.zeros((h, w, 3), np.float32)
+    for x, y, s in pts:
+        if x < 0:
+            continue
+        ref[(xx - x) ** 2 + (yy - y) ** 2 <= 9] = 1.0
+    np.testing.assert_array_equal(canvas, ref)
+
+    # a thick segment (capsule), partially clipped
+    a = np.array([3.0, 4.0])
+    b = np.array([37.5, 28.0])
+    win = op._segment_window(h, w, a, b, 2.0)
+    assert win is not None
+    y0, y1, x0, x1, m = win
+    ab = b - a
+    t = np.clip(((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1])
+                / float((ab ** 2).sum()), 0.0, 1.0)
+    d2 = (xx - (a[0] + t * ab[0])) ** 2 + (yy - (a[1] + t * ab[1])) ** 2
+    full = d2 <= 4.0
+    np.testing.assert_array_equal(full[y0:y1, x0:x1], m)
+    outside = full.copy()
+    outside[y0:y1, x0:x1] = False
+    assert not outside.any()
+
+
+def test_register_subnet_invalidates_parent_closure():
+    """register_preprocessor('Openpose (hand)') after the parent closure
+    was cached must invalidate it — otherwise an already-built random-init
+    sub-net silently shadows the newly registered weights."""
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+
+    m = ModelManager(dtype=jnp.float32)
+    m.register_preprocessor("Openpose", detect_resolution=64)
+    fn1 = m.get_preprocessor("Openpose")
+    assert m.get_preprocessor("Openpose") is fn1  # cached
+    m.register_preprocessor("Openpose (hand)")
+    fn2 = m.get_preprocessor("Openpose")
+    assert fn2 is not fn1
+
+
+def test_hed_layout_under_soft_edge_routes_to_hed(tmp_path):
+    """HED-layout weights registered under 'Soft Edge' (the only valid
+    layout before PidiNet became the default detector) are sniffed by key
+    names and routed to the HED detector instead of raising KeyError."""
+    from safetensors.numpy import save_file
+
+    from diffusionspatialcontrol_tpu.app.api import ModelManager
+    from diffusionspatialcontrol_tpu.models import hed as H
+
+    params = H.hed_init(jax.random.PRNGKey(0))
+    sd = {"norm": np.asarray(params["norm"],
+                             np.float32).reshape(1, 3, 1, 1)}
+    for b in range(1, 6):
+        bp = params[f"block{b}"]
+        for i, conv in enumerate(bp["convs"]):
+            sd[f"block{b}.convs.{i}.weight"] = np.ascontiguousarray(
+                np.asarray(conv["kernel"], np.float32).transpose(3, 2, 0, 1)
+            )
+            sd[f"block{b}.convs.{i}.bias"] = np.asarray(conv["bias"],
+                                                        np.float32)
+        sd[f"block{b}.projection.weight"] = np.ascontiguousarray(
+            np.asarray(bp["projection"]["kernel"],
+                       np.float32).transpose(3, 2, 0, 1)
+        )
+        sd[f"block{b}.projection.bias"] = np.asarray(
+            bp["projection"]["bias"], np.float32)
+    path = str(tmp_path / "ControlNetHED.safetensors")
+    save_file(sd, path)
+
+    m = ModelManager(dtype=jnp.float32)
+    m.register_preprocessor("Soft Edge", path=path)
+    fn = m.get_preprocessor("Soft Edge")
+    img = (np.random.RandomState(0).rand(48, 48, 3) * 255).astype(np.uint8)
+    out = fn(img)
+    ref = H.detect_edges(params, img)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
