@@ -504,3 +504,116 @@ def launch_gradio(manager: ModelManager, **kwargs):  # pragma: no cover
     from .gradio_ui import launch
 
     return launch(manager, **kwargs)
+
+
+def build_manager_from_args(args) -> ModelManager:
+    """argparse namespace -> configured ModelManager (split from main()
+    so tests can drive the CLI wiring without binding a port)."""
+    import jax.numpy as jnp
+
+    from ..config import MODEL_FAMILIES
+
+    manager = ModelManager(
+        dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    )
+    for spec in args.model:
+        if "=" not in spec:
+            raise SystemExit(f"--model expects NAME=DIR, got {spec!r}")
+        name, path = spec.split("=", 1)
+        manager.register(name, path)
+    if args.zoo:
+        names = manager.register_zoo(args.zoo)
+        if not names:
+            raise SystemExit(f"--zoo {args.zoo}: no zoo checkpoints found")
+    for spec in args.random_model:
+        parts = spec.split(":")
+        name = parts[0]
+        family = parts[1] if len(parts) > 1 else "sd15"
+        if family not in MODEL_FAMILIES:
+            raise SystemExit(
+                f"unknown family {family!r}; options: "
+                f"{sorted(MODEL_FAMILIES)}"
+            )
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        manager.register_random(name, MODEL_FAMILIES[family](), seed=seed)
+    for spec in args.preprocessor:
+        if "=" not in spec:
+            raise SystemExit(
+                f"--preprocessor expects NAME=WEIGHTS, got {spec!r}"
+            )
+        name, path = spec.split("=", 1)
+        manager.register_preprocessor(name, path=path)
+    if args.image_encoder:
+        manager.register_image_encoder(path=args.image_encoder)
+    if args.face_embedder:
+        manager.register_face_embedder(path=args.face_embedder)
+    if not manager._dirs:
+        raise SystemExit(
+            "no models registered; pass --model NAME=DIR, --zoo ROOT "
+            "and/or --random-model NAME[:FAMILY[:SEED]]"
+        )
+    return manager
+
+
+def main(argv=None):
+    """CLI: ``python -m diffusionspatialcontrol_tpu.app.server ...``
+    (the reference's ``python app.py`` launch, source/app.py:3063)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="diffusionspatialcontrol_tpu.app.server",
+        description="JSON HTTP server (optionally Gradio) for the "
+        "TPU-native DiffusionSpatialControl framework.",
+    )
+    p.add_argument("--model", action="append", default=[],
+                   metavar="NAME=DIR",
+                   help="register a diffusers-layout checkpoint directory "
+                   "(repeatable)")
+    p.add_argument("--zoo", metavar="ROOT",
+                   help="register every reference-zoo checkpoint found "
+                   "under ROOT (registry.MODEL_ZOO names)")
+    p.add_argument("--random-model", action="append", default=[],
+                   metavar="NAME[:FAMILY[:SEED]]",
+                   help="register a random-init model (weightless demo/"
+                   "smoke runs; families: sd15, sd15-inpaint, sd21)")
+    p.add_argument("--preprocessor", action="append", default=[],
+                   metavar="NAME=WEIGHTS",
+                   help="register control-preprocessor weights, e.g. "
+                   "'Depth=/w/dpt.safetensors' (repeatable)")
+    p.add_argument("--image-encoder", metavar="WEIGHTS",
+                   help="CLIP-vision weights for IP-Adapter embedding")
+    p.add_argument("--face-embedder", metavar="WEIGHTS",
+                   help="ArcFace recognition weights for IP-Adapter FaceID")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--platform", choices=["tpu", "cpu"],
+                   help="force a JAX backend (some environments "
+                   "force-register a backend and ignore JAX_PLATFORMS; "
+                   "this sets jax.config jax_platforms before first use)")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile the default shape buckets for every "
+                   "registered model before accepting requests")
+    p.add_argument("--gradio", action="store_true",
+                   help="launch the Gradio Blocks UI instead of the JSON "
+                   "HTTP server (requires gradio)")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    manager = build_manager_from_args(args)
+    if args.warmup:
+        for name in list(manager._dirs):
+            warmup(manager, default_warmup_configs(name))
+    if args.gradio:
+        launch_gradio(manager, server_name=args.host,
+                      server_port=args.port)
+        return
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    serve(manager, host=args.host, port=args.port, block=True)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

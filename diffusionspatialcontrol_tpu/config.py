@@ -195,9 +195,27 @@ def sd21_config(v_prediction: bool = False) -> ModelConfig:
     )
 
 
+def tiny_config() -> ModelConfig:
+    """Miniature SD topology (same block structure, ~1/10 widths): CPU
+    smoke tests, CLI demos, CI — compiles in seconds instead of minutes."""
+    return ModelConfig(
+        name="tiny",
+        clip=CLIPTextConfig(vocab_size=49408, hidden_size=64,
+                            intermediate_size=128, num_layers=2,
+                            num_heads=4),
+        unet=UNetConfig(block_out_channels=(32, 64, 128, 128),
+                        cross_attention_dim=64,
+                        num_attention_heads=(2, 2, 2, 2),
+                        norm_num_groups=8),
+        vae=VAEConfig(block_out_channels=(16, 32, 32, 32),
+                      norm_num_groups=4),
+    )
+
+
 MODEL_FAMILIES = {
     "sd15": sd15_config,
     "sd15-inpaint": sd15_inpaint_config,
+    "tiny": tiny_config,
     "sd21": sd21_config,
 }
 

@@ -394,8 +394,9 @@ def make_hed_preprocessor(params, scribble: bool = False) -> Callable:
 #: Segmentation" (UperNet/ConvNeXt, models/upernet.py), "Soft Edge" /
 #: "Scribble (HED)" (models/hed.py), "Lineart"/"Lineart (anime)"
 #: (models/lineart*.py), "MLSD" (models/mlsd.py), "Zoedepth"
-#: (models/zoedepth.py), "Normal Map" (depth-gradient normals over DPT —
-#: the v1 annotator; NormalBae NNET is a documented divergence) and
+#: (models/zoedepth.py), "Normal Map" (NNET NormalBae, models/normalbae.py,
+#: when weights/config are registered; depth-gradient normals over DPT —
+#: the v1 annotator — as the weightless fallback, DIVERGENCES.md) and
 #: "Instruct Pix2Pix" (no detector: the reference feeds the raw image,
 #: app.py:702). Names match the reference UI (app.py:86-101); "Soft Edge"
 #: and "Scribble (PidiNet)" run PidiNet (models/pidinet.py), the

@@ -1332,3 +1332,45 @@ def test_latent_preview_base_hires_split(manager):
     np.testing.assert_array_equal(both[-1], hires[-1])
     with pytest.raises(ValueError):
         inference(manager, latent_preview="nope", **kw)
+
+
+def test_server_cli_build_manager(tmp_path):
+    """``python -m ...app.server`` CLI wiring: --random-model families,
+    --model NAME=DIR validation, and the no-models error."""
+    import argparse
+
+    import pytest as _pytest
+
+    from diffusionspatialcontrol_tpu.app.server import (
+        build_manager_from_args, main,
+    )
+
+    def parse(argv):
+        # reuse main()'s parser without serving: build the namespace the
+        # same way main does
+        p = argparse.ArgumentParser()
+        p.add_argument("--model", action="append", default=[])
+        p.add_argument("--zoo")
+        p.add_argument("--random-model", action="append", default=[])
+        p.add_argument("--preprocessor", action="append", default=[])
+        p.add_argument("--image-encoder")
+        p.add_argument("--face-embedder")
+        p.add_argument("--dtype", default="bf16")
+        return p.parse_args(argv)
+
+    m = build_manager_from_args(parse(
+        ["--random-model", "tiny:sd15:3", "--dtype", "f32"]
+    ))
+    assert "tiny" in m._dirs and m.dtype == jnp.float32
+
+    with _pytest.raises(SystemExit):
+        build_manager_from_args(parse(["--model", "missing-equals"]))
+    with _pytest.raises(SystemExit):
+        build_manager_from_args(parse([]))  # no models registered
+    with _pytest.raises(SystemExit):
+        build_manager_from_args(parse(["--random-model", "x:nofam"]))
+
+    # main() with --help exits cleanly (argparse), proving the real parser
+    with _pytest.raises(SystemExit) as ei:
+        main(["--help"])
+    assert ei.value.code == 0
