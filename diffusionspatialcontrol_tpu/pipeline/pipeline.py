@@ -687,6 +687,110 @@ def _sample_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "init_shape", "model_cfg", "solver_name", "sigmas_key", "gate",
+        "guidance_scale", "guidance_rescale", "attn_impl", "conv_impl",
+        "solver_opts", "decode", "compute_dtype", "uint8_output",
+    ),
+)
+def _tgate_core(
+    params,
+    latents,
+    context,
+    region_biases,
+    noise,
+    extras,
+    seed_arr=None,
+    *,
+    init_shape: Optional[Tuple[int, ...]] = None,
+    model_cfg: ModelConfig,
+    solver_name: str,
+    sigmas_key: Tuple[float, ...],
+    gate: int,
+    guidance_scale: float,
+    guidance_rescale: float,
+    attn_impl: str,
+    conv_impl: Optional[str],
+    solver_opts: Tuple[Tuple[str, Any], ...],
+    decode: bool,
+    compute_dtype=jnp.bfloat16,
+    uint8_output: bool = False,
+):
+    """Single-program TGATE: CFG segment + gate collect forward +
+    frozen-cross-attention cond-only tail + decode, all in ONE compiled
+    program. The round-3 chunked formulation (sample_chunked pause ->
+    eager _collect_xattn_once -> sample_chunked resume) dispatched 3-4
+    separate programs plus eager init ops; on the remote-execution
+    backend each costs a relay round trip, which ate the method's entire
+    saving (bench_tgate r4: 0.86-1.22 s vs 0.69 s plain — a net LOSS).
+    One program has none of that overhead and lets XLA schedule the
+    whole trajectory."""
+    sigmas = np.asarray(sigmas_key, np.float64)
+    if init_shape is not None:
+        k_lat, k_noise = _fold_keys_from_arr(seed_arr, 2)
+        latents = _keyed_normal(k_lat, init_shape) * float(
+            np.sqrt(sigmas[0] ** 2 + 1.0)
+        )
+        noise = _solver_noise_fn(k_noise, sigmas, init_shape, solver_name)
+    table = schedules.ddpm_sigma_table(model_cfg)
+    log_table = jnp.asarray(np.log(table), jnp.float32)
+    n_total = len(sigmas) - 1
+    opts = dict(solver_opts)
+    solver_fn, _, _ = solvers.SOLVERS[solver_name]
+
+    # segment 1: steps [0, gate) with full conditioning (CFG on)
+    denoise1 = make_denoise_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=sigmas[:-1], conv_impl=conv_impl,
+    )
+    x1, carry = solver_fn(denoise1, latents, sigmas, noise=noise,
+                          segment=(0, gate), return_carry=True, **opts)
+
+    # gate: one collect forward capturing every cross-attention output
+    denoise_c = make_denoise_fn(
+        params, model_cfg, context, region_biases, log_table,
+        guidance_scale, guidance_rescale, attn_impl,
+        compute_dtype=compute_dtype, extras=extras,
+        sigma_steps=np.asarray([sigmas[gate]], np.float64),
+        conv_impl=conv_impl, collect_xattn=True,
+    )
+    _, xa = denoise_c(x1, jnp.float32(sigmas[gate]))
+
+    if guidance_scale > 1.0:
+        # interleaved CFG layout [u0, c0, ...] -> pair average; tail runs
+        # cond-only at half batch (with a shared frozen cross-attention
+        # both CFG halves are identical — TGATE's speedup)
+        xa = tuple(0.5 * (e[0::2] + e[1::2]) for e in xa)
+        ctx2, _, ex2 = cond_half_conditioning(context, None, extras)
+    else:
+        ctx2, ex2 = context, extras
+    # region biases and IP tokens are dead past the gate (cross-attention
+    # is never recomputed); drop them for a leaner tail
+    if ex2 is not None and ex2.ip_tokens is not None:
+        ex2 = dataclasses.replace(
+            ex2, ip_tokens=None, ip_scales=None, ip_masks=None)
+    denoise2 = make_denoise_fn(
+        params, model_cfg, ctx2, None, log_table, 1.0, 0.0, attn_impl,
+        compute_dtype=compute_dtype, extras=ex2,
+        sigma_steps=sigmas[:-1], conv_impl=conv_impl, xattn_cache=xa,
+    )
+    x = solver_fn(denoise2, x1, sigmas, noise=noise, carry_in=carry,
+                  segment=(gate, n_total - gate), **opts)
+
+    if decode:
+        ci = attn_impl if conv_impl is None else conv_impl
+        x = vae_decode(params["vae"], model_cfg.vae, x, conv_impl=ci)
+        if uint8_output:
+            x = jnp.round(
+                jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "model_cfg", "solver_name", "sigmas_key", "guidance_scale",
         "guidance_rescale", "attn_impl", "conv_impl", "solver_opts",
         "compute_dtype", "segment_size",
@@ -701,7 +805,6 @@ def _sample_chunk(
     noise,
     extras,
     start,  # traced scalar step offset -> one program per segment_size
-    xattn_cache=None,  # TGATE tail: frozen cross-attention outputs
     *,
     model_cfg: ModelConfig,
     solver_name: str,
@@ -724,7 +827,6 @@ def _sample_chunk(
         guidance_scale, guidance_rescale, attn_impl,
         compute_dtype=compute_dtype, extras=extras,
         sigma_steps=sigmas[:-1], conv_impl=conv_impl,
-        xattn_cache=xattn_cache,
     )
     solver_fn, _, _ = solvers.SOLVERS[solver_name]
     return solver_fn(
@@ -831,49 +933,6 @@ def _denoise_once(
         sigma_steps=np.asarray([sigma], np.float64), conv_impl=conv_impl,
     )
     return denoise(x, jnp.float32(sigma))
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model_cfg", "sigma", "guidance_scale", "guidance_rescale",
-        "attn_impl", "conv_impl", "compute_dtype",
-    ),
-)
-def _collect_xattn_once(
-    params,
-    x,
-    context,
-    region_biases,
-    extras,
-    *,
-    model_cfg: ModelConfig,
-    sigma: float,
-    guidance_scale: float,
-    guidance_rescale: float,
-    attn_impl: str,
-    conv_impl: Optional[str] = None,
-    compute_dtype=jnp.bfloat16,
-):
-    """One extra forward at the TGATE gate sigma capturing every
-    cross-attention output. With CFG on, the cond and uncond entries are
-    averaged (TGATE's choice: both halves of the tail share the frozen
-    cross-attention, PAPERS.md "Faster Diffusion via Temporal Attention
-    Decomposition") — the tail then runs cond-only at half batch."""
-    table = schedules.ddpm_sigma_table(model_cfg)
-    log_table = jnp.asarray(np.log(table), jnp.float32)
-    denoise = make_denoise_fn(
-        params, model_cfg, context, region_biases, log_table,
-        guidance_scale, guidance_rescale, attn_impl,
-        compute_dtype=compute_dtype, extras=extras,
-        sigma_steps=np.asarray([sigma], np.float64), conv_impl=conv_impl,
-        collect_xattn=True,
-    )
-    _, xa = denoise(x, jnp.float32(sigma))
-    if guidance_scale > 1.0:
-        # interleaved CFG layout [u0, c0, u1, c1, ...] -> pair average
-        xa = tuple(0.5 * (e[0::2] + e[1::2]) for e in xa)
-    return xa
 
 
 # ---------------------------------------------------------------------------
@@ -1134,7 +1193,6 @@ class StableDiffusionTPU:
         decode: bool = True,
         uint8_output: bool = False,
         resume: Optional["ChunkedPause"] = None,
-        xattn_cache=None,  # TGATE tail (txt2img_tgate)
     ):
         """txt2img with host re-entry every ``chunk_steps`` solver steps.
 
@@ -1195,7 +1253,7 @@ class StableDiffusionTPU:
             size = min(int(chunk_steps), n_total - pos)
             x, carry = _sample_chunk(
                 self.params, carry, latents, context, region_biases,
-                noise, extras, jnp.int32(pos), xattn_cache,
+                noise, extras, jnp.int32(pos),
                 model_cfg=self.model_cfg,
                 solver_name=gen.sampler,
                 sigmas_key=tuple(float(v) for v in sigmas),
@@ -1318,34 +1376,36 @@ class StableDiffusionTPU:
                 f"tgate supports {sorted(solvers.DEEPCACHE_SOLVERS)}, "
                 f"not {gen.sampler!r}"
             )
-        pause = self.sample_chunked(
-            context, gen, seed=seed, region_biases=region_biases,
-            batch_size=batch_size, extras=extras, chunk_steps=gate,
-            on_chunk=lambda done, total: done < gate, decode=False,
-        )
-        xa = _collect_xattn_once(
-            self.params, pause.x, context, region_biases, extras,
-            model_cfg=self.model_cfg, sigma=float(sigmas[gate]),
+        if _is_seed_list(seed):
+            batch_size = len(seed)
+        shape = (batch_size, gen.latent_height, gen.latent_width, 4)
+        if self.seed_in_program:
+            seed_init = dict(seed_arr=_seed_to_arr(seed), init_shape=shape)
+            latents = noise = None
+        else:
+            seed_init = {}
+            k_lat, k_noise = _seed_fold_keys(seed, 2)
+            latents = _keyed_normal(k_lat, shape) * float(
+                np.sqrt(sigmas[0] ** 2 + 1.0)
+            )
+            noise = self._solver_noise(k_noise, sigmas, shape, gen.sampler)
+        opts = tuple(sorted(self._solver_opts(
+            gen, self._schedule(gen)[1]).items()))
+        return _tgate_core(
+            self.params, latents, context, region_biases, noise, extras,
+            model_cfg=self.model_cfg,
+            solver_name=gen.sampler,
+            sigmas_key=tuple(float(s) for s in sigmas),
+            gate=gate,
             guidance_scale=gen.guidance_scale,
             guidance_rescale=gen.guidance_rescale,
-            attn_impl=self.attn_impl, conv_impl=self.conv_impl,
+            attn_impl=self.attn_impl,
+            conv_impl=self.conv_impl,
+            solver_opts=opts,
+            decode=decode,
             compute_dtype=gen.dtype,
-        )
-        if gen.guidance_scale > 1.0:
-            ctx2, _, ex2 = cond_half_conditioning(context, None, extras)
-        else:
-            ctx2, ex2 = context, extras
-        # region biases and IP tokens are dead past the gate (cross-attn
-        # is never computed); drop them for a leaner tail program
-        if ex2 is not None and ex2.ip_tokens is not None:
-            ex2 = dataclasses.replace(
-                ex2, ip_tokens=None, ip_scales=None, ip_masks=None)
-        gen2 = dataclasses.replace(gen, guidance_scale=1.0)
-        return self.sample_chunked(
-            ctx2, gen2, seed=seed, region_biases=None,
-            batch_size=batch_size, extras=ex2, chunk_steps=n_total,
-            resume=pause, decode=decode, uint8_output=uint8_output,
-            xattn_cache=xa,
+            uint8_output=uint8_output,
+            **seed_init,
         )
 
     def txt2img_deepcache(
