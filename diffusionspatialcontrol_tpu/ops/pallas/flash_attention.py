@@ -94,8 +94,14 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool | None = None) -> jnp.ndarray:
-    """q: (B, H, L, D); k, v: (B, H, S, D) -> (B, H, L, D)."""
+                    interpret: bool | None = None,
+                    block_l: int | None = None,
+                    vmem_budget: int | None = None) -> jnp.ndarray:
+    """q: (B, H, L, D); k, v: (B, H, S, D) -> (B, H, L, D).
+
+    ``block_l`` / ``vmem_budget`` override the query-tile heuristic (used
+    by benchmarks/tune_flash.py sweeps); production callers leave them
+    unset."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, l, d = q.shape
@@ -106,15 +112,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     # Fit the per-program working set (fp32 logits tile + bf16 K/V + q/out)
     # in a conservative VMEM budget; shrink the query tile as S grows.
-    vmem_budget = 12 * 2**20
+    if vmem_budget is None:
+        vmem_budget = 12 * 2**20
     kv_bytes = 2 * s_pad * d_pad * 2
-    block_l = 512
-    while block_l > 128:
-        logits_bytes = block_l * s_pad * 4
-        io_bytes = block_l * d_pad * 8
-        if kv_bytes + logits_bytes + io_bytes <= vmem_budget:
-            break
-        block_l //= 2
+    if block_l is None:
+        block_l = 512
+        while block_l > 128:
+            logits_bytes = block_l * s_pad * 4
+            io_bytes = block_l * d_pad * 8
+            if kv_bytes + logits_bytes + io_bytes <= vmem_budget:
+                break
+            block_l //= 2
     if kv_bytes + block_l * s_pad * 4 + block_l * d_pad * 8 > vmem_budget:
         # K/V too large for the single-pass kernel: stream KV chunks with
         # an online softmax (flash proper) — the only path that works at
