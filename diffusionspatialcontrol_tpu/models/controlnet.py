@@ -23,6 +23,7 @@ from .unet import (
     UNetCond,
     _resnet_apply,
     _resnet_init,
+    _temb_projections,
     _transformer_apply,
     _transformer_init,
 )
@@ -131,11 +132,19 @@ def controlnet_apply(
         c = silu(conv2d(blk, c, stride=stride))
     c = conv2d(ce["conv_out"], c)
 
+    # Fused time projections (see unet._temb_projections), consumed in
+    # traversal order: down resnets then the two mid resnets.
+    res_order = [r for blk in params["down_blocks"] for r in blk["resnets"]]
+    res_order += [params["mid_block"]["resnet1"],
+                  params["mid_block"]["resnet2"]]
+    t_it = iter(_temb_projections(res_order, temb))
+
     h = conv2d(params["conv_in"], sample) + c
     feats = [h]
     for level, block in enumerate(params["down_blocks"]):
         for j in range(len(block["resnets"])):
-            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_)
+            h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
+                              t=next(t_it))
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], unet_cfg, h,
                                        cond, level,
@@ -146,12 +155,12 @@ def controlnet_apply(
             feats.append(h)
 
     mid = params["mid_block"]
-    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_)
+    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_, t=next(t_it))
     h = _transformer_apply(mid["attention"], unet_cfg, h, cond,
                            unet_cfg.num_levels - 1,
                            unet_cfg.heads_at(unet_cfg.num_levels - 1), "xla",
                            None)
-    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_)
+    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_, t=next(t_it))
 
     down_res = tuple(
         conv2d(zc, f, padding="VALID")

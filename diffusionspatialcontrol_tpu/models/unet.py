@@ -276,8 +276,31 @@ def _up_skip_channels(cfg: UNetConfig, level: int) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla"):
-    t = linear(p["time_emb_proj"], silu(temb))
+def _temb_projections(resnets, temb):
+    """Per-resnet ``linear(time_emb_proj, silu(temb))`` for every resnet in
+    ``resnets``, computed as ONE fused GEMM: the kernels are concatenated on
+    the output dim (loop-invariant, so XLA hoists the concat out of the
+    sampling scan) and the result is sliced back per resnet. Column j of the
+    fused product contracts exactly the same K=temb_dim vector as the
+    per-resnet dot, so this is the same math batched on N — it replaces
+    ~22 M=batch GEMMs + SiLUs per UNet step with one of each."""
+    st = silu(temb)
+    ks = [r["time_emb_proj"]["kernel"] for r in resnets]
+    wcat = jnp.concatenate(ks, axis=1)
+    bcat = jnp.concatenate(
+        [r["time_emb_proj"]["bias"] for r in resnets], axis=0)
+    t_all = linear({"kernel": wcat, "bias": bcat}, st)
+    out, off = [], 0
+    for k in ks:
+        n = k.shape[1]
+        out.append(t_all[:, off:off + n])
+        off += n
+    return out
+
+
+def _resnet_apply(p, x, temb, groups, eps, conv_impl: str = "xla", t=None):
+    if t is None:
+        t = linear(p["time_emb_proj"], silu(temb))
     if conv_impl in ("pallas", "pallas2"):
         # Fused one-HBM-pass branch: GN stats are a cheap XLA reduction,
         # folded into a per-(batch, channel) affine; normalize+SiLU+conv3x3
@@ -533,6 +556,14 @@ def unet_apply(
                   temb.astype(sample.dtype))
     temb = linear(params["time_embedding"]["linear_2"], silu(temb))
 
+    # One fused GEMM for every resnet's time projection, consumed in
+    # traversal order (down -> mid -> up) below.
+    res_order = [r for blk in params["down_blocks"] for r in blk["resnets"]]
+    res_order += [params["mid_block"]["resnet1"],
+                  params["mid_block"]["resnet2"]]
+    res_order += [r for blk in params["up_blocks"] for r in blk["resnets"]]
+    t_it = iter(_temb_projections(res_order, temb))
+
     h = conv2d(params["conv_in"], sample)
     skips = [h]
 
@@ -544,7 +575,7 @@ def unet_apply(
         n_res = len(block["resnets"])
         for j in range(n_res):
             h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
-                              conv_impl)
+                              conv_impl, t=next(t_it))
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
@@ -564,12 +595,14 @@ def unet_apply(
                  for s, r in zip(skips, cond.controlnet_down)]
 
     mid = params["mid_block"]
-    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_, conv_impl)
+    h = _resnet_apply(mid["resnet1"], h, temb, groups, eps_, conv_impl,
+                      t=next(t_it))
     h = _transformer_apply(mid["attention"], cfg, h, cond, cfg.num_levels - 1,
                            cfg.heads_at(cfg.num_levels - 1), attn_impl,
                            heatmaps, axis_name=axis_name,
                            xattn_cache=xa_in, xattn_out=xa_out)
-    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_, conv_impl)
+    h = _resnet_apply(mid["resnet2"], h, temb, groups, eps_, conv_impl,
+                      t=next(t_it))
     if cond.controlnet_mid is not None:
         h = h + cond.controlnet_mid.astype(h.dtype)
 
@@ -585,7 +618,7 @@ def unet_apply(
                 skip = _freeu_filter(skip, s_scale)
             h = jnp.concatenate([h, skip], axis=-1)
             h = _resnet_apply(block["resnets"][j], h, temb, groups, eps_,
-                              conv_impl)
+                              conv_impl, t=next(t_it))
             if block["attentions"]:
                 h = _transformer_apply(block["attentions"][j], cfg, h, cond,
                                        level, cfg.heads_at(level), attn_impl,
