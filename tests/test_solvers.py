@@ -540,3 +540,38 @@ def test_txt2img_cfg_tail():
     # tail_frac=1.0 still keeps at least one CFG step
     out = pipe.txt2img_cfg_tail(ctx, GEN, 1.0, seed=3, decode=False)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_heunpp2_nfe_and_fastpath_equivalence():
+    """The canonical heunpp2 path must pay 3(n-2)+3 UNet evals (reference
+    cost profile, samplers_extra_k_diffusion.py:138-176) and match the
+    uniform select-per-step body (forced via segment) to 1 ULP."""
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+    sigmas = schedules.get_sigmas(CFG, 10, "karras")
+    n = len(sigmas) - 1
+    x = x0 + sigmas[0] * jnp.asarray(rng.randn(*x0.shape), jnp.float32)
+
+    calls = []
+
+    def denoise(xx, sigma):
+        jax.debug.callback(lambda: calls.append(1))
+        return x0 + 0.1 * jnp.tanh(xx) * sigma / (sigma + 1.0)
+
+    out, hist = solvers.sample_heunpp2(denoise, x, sigmas,
+                                       return_history=True)
+    jax.effects_barrier()
+    assert len(calls) == 3 * (n - 2) + 3  # not 3n: last two steps pay 2+1
+    assert hist.shape[0] == n
+
+    calls.clear()
+    out_u, hist_u = solvers.sample_heunpp2(
+        denoise, x, sigmas, return_history=True, segment=(0, n))
+    jax.effects_barrier()
+    assert len(calls) == 3 * n  # the chunkable uniform body pays 3 per step
+    # same arithmetic, different fusion contexts: XLA rounding can differ
+    # by 1 ULP in intermediate history entries
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_u),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_u),
+                               rtol=0, atol=1e-6)
