@@ -709,18 +709,40 @@ def _crop_heatmaps(apply_fn, params, crop01: np.ndarray, n_parts: int,
 
 def peaks_from_heatmaps(heat: np.ndarray, thre: float = 0.05,
                         sigma: float = 3.0) -> np.ndarray:
-    """One (x, y, score) per part channel (argmax of the blurred map;
-    (-1, -1, 0) where the peak is under threshold)."""
+    """One (x, y, score) per part channel ((-1, -1, 0) where no pixel
+    clears the threshold).
+
+    With ``sigma > 0`` this is controlnet_aux's hand peak rule
+    (open_pose/hand.py:26-44): threshold the Gaussian-blurred map,
+    8-connected component labeling, keep the component whose ORIGINAL-map
+    sum is largest, and take the argmax of the original map inside it.
+    With ``sigma = 0`` (the face net) it is the plain argmax of the raw
+    map over threshold (open_pose/face.py peak pass)."""
+    from scipy import ndimage
+
     n = heat.shape[-1]
     out = np.full((n, 3), -1.0, np.float32)
     out[:, 2] = 0.0
+    eight = np.ones((3, 3), np.int32)  # skimage connectivity=ndim (8-conn)
     for part in range(n):
-        m = _gaussian_blur(heat[:, :, part], sigma) if sigma else \
-            heat[:, :, part]
-        j = int(np.argmax(m))
-        y, x = divmod(j, m.shape[1])
-        if m[y, x] > thre:
-            out[part] = (x, y, heat[y, x, part])
+        map_ori = heat[:, :, part]
+        if not sigma:
+            j = int(np.argmax(map_ori))
+            y, x = divmod(j, map_ori.shape[1])
+            if map_ori[y, x] > thre:
+                out[part] = (x, y, map_ori[y, x])
+            continue
+        binary = _gaussian_blur(map_ori, sigma) > thre
+        if not binary.any():
+            continue
+        labels, k = ndimage.label(binary, structure=eight)
+        sums = ndimage.sum_labels(map_ori, labels,
+                                  index=np.arange(1, k + 1))
+        best = int(np.argmax(sums)) + 1
+        masked = np.where(labels == best, map_ori, 0.0)
+        j = int(np.argmax(masked))
+        y, x = divmod(j, masked.shape[1])
+        out[part] = (x, y, map_ori[y, x])
     return out
 
 

@@ -1743,3 +1743,266 @@ def test_hed_layout_under_soft_edge_routes_to_hed(tmp_path):
     out = fn(img)
     ref = H.detect_edges(params, img)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_peaks_largest_connected_region_rule():
+    """Multi-blob heatmaps: peaks_from_heatmaps must follow controlnet_aux's
+    hand rule (open_pose/hand.py:26-44) — the 8-connected component with the
+    largest ORIGINAL-map sum wins, not the globally highest blurred pixel.
+    Verified against a literal replica of the dependency's algorithm."""
+    from scipy import ndimage
+    from scipy.ndimage import gaussian_filter
+
+    from diffusionspatialcontrol_tpu.models import openpose as op
+
+    def reference_rule(map_ori, thre=0.05, sigma=3.0):
+        one = gaussian_filter(map_ori, sigma=sigma)
+        binary = one > thre
+        if binary.sum() == 0:
+            return None
+        labels, k = ndimage.label(binary, structure=np.ones((3, 3)))
+        sums = [map_ori[labels == i].sum() for i in range(1, k + 1)]
+        best = int(np.argmax(sums)) + 1
+        m = map_ori.copy()
+        m[labels != best] = 0
+        j = int(np.argmax(m))
+        return divmod(j, m.shape[1])  # (y, x)
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def blob(cy, cx, amp, s):
+        return amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+
+    rng = np.random.RandomState(0)
+    cases = []
+    # tall narrow spike (global max) vs broad lower blob (larger sum):
+    # the two rules disagree here — the regression this test pins.
+    cases.append(blob(12, 12, 1.0, 3.0) + blob(44, 44, 0.55, 7.0))
+    # single blob (rules agree) and random multi-blob fields
+    cases.append(blob(30, 20, 0.8, 4.0))
+    for _ in range(6):
+        m = np.zeros((h, w))
+        for _ in range(rng.randint(2, 5)):
+            m += blob(rng.randint(5, 59), rng.randint(5, 59),
+                      rng.uniform(0.2, 1.0), rng.uniform(1.0, 8.0))
+        cases.append(m)
+
+    heat = np.stack(cases, axis=-1).astype(np.float32)
+    pk = op.peaks_from_heatmaps(heat, thre=0.05, sigma=3.0)
+    for i, m in enumerate(cases):
+        ref = reference_rule(m.astype(np.float32))
+        assert ref is not None
+        ry, rx = ref
+        assert (pk[i, 0], pk[i, 1]) == (rx, ry), f"case {i}"
+    # the engineered case 0 MUST differ from the old blurred-argmax rule
+    old_j = np.argmax(gaussian_filter(cases[0].astype(np.float32), 3.0))
+    oy, ox = divmod(int(old_j), w)
+    assert (pk[0, 0], pk[0, 1]) != (ox, oy)
+    # sub-threshold channel stays a sentinel
+    low = np.full((h, w, 1), 1e-4, np.float32)
+    pk_low = op.peaks_from_heatmaps(low, thre=0.05, sigma=3.0)
+    assert tuple(pk_low[0]) == (-1.0, -1.0, 0.0)
+
+
+class TestFaceDetect:
+    """SCRFD-class detector: decode/NMS parity vs literal replicas of
+    insightface scrfd.py, alignment math, and the host-side e2e path."""
+
+    def test_decode_matches_insightface_replica(self):
+        from diffusionspatialcontrol_tpu.models import face_detect as fd
+
+        cfg = fd.FACEDETECT_TINY
+        rng = np.random.RandomState(0)
+        outs = []
+        for stride in cfg.strides:
+            g = cfg.input_size // stride
+            a = cfg.num_anchors
+            outs.append((
+                jnp.asarray(rng.randn(1, g, g, a).astype(np.float32) * 2),
+                jnp.asarray(rng.rand(1, g, g, a * 4).astype(np.float32) * 3),
+                jnp.asarray(rng.randn(1, g, g, a * 10).astype(np.float32)),
+            ))
+        det_scale = 0.73
+        dets, kpss = fd.decode_scrfd(outs, cfg, det_scale=det_scale,
+                                     score_thresh=0.6)
+
+        # literal replica of insightface SCRFD.forward + detect
+        scores_list, bboxes_list, kpss_list = [], [], []
+        for (cls, bbox, kps), stride in zip(outs, cfg.strides):
+            scores = 1.0 / (1.0 + np.exp(-np.asarray(cls[0]))).reshape(-1)
+            bbox_preds = np.asarray(bbox[0]).reshape(-1, 4) * stride
+            kps_preds = np.asarray(kps[0]).reshape(-1, 10) * stride
+            height = width = cfg.input_size // stride
+            anchor_centers = np.stack(
+                np.mgrid[:height, :width][::-1], axis=-1
+            ).astype(np.float32).reshape(-1, 2) * stride
+            anchor_centers = np.stack(
+                [anchor_centers] * cfg.num_anchors, axis=1
+            ).reshape(-1, 2)
+            pos_inds = np.where(scores >= 0.6)[0]
+            x1 = anchor_centers[:, 0] - bbox_preds[:, 0]
+            y1 = anchor_centers[:, 1] - bbox_preds[:, 1]
+            x2 = anchor_centers[:, 0] + bbox_preds[:, 2]
+            y2 = anchor_centers[:, 1] + bbox_preds[:, 3]
+            bboxes = np.stack([x1, y1, x2, y2], axis=-1)
+            preds = []
+            for i in range(0, 10, 2):
+                preds.append(anchor_centers[:, 0] + kps_preds[:, i])
+                preds.append(anchor_centers[:, 1] + kps_preds[:, i + 1])
+            kk = np.stack(preds, axis=-1).reshape(-1, 5, 2)
+            scores_list.append(scores[pos_inds])
+            bboxes_list.append(bboxes[pos_inds])
+            kpss_list.append(kk[pos_inds])
+        scores = np.concatenate(scores_list)
+        bboxes = np.concatenate(bboxes_list) / det_scale
+        kk = np.concatenate(kpss_list) / det_scale
+        order = scores.argsort()[::-1]
+        pre = np.hstack([bboxes, scores[:, None]]).astype(
+            np.float32)[order]
+        kk = kk[order]
+
+        # replica greedy NMS
+        x1, y1, x2, y2, sc = pre.T
+        areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+        idx = sc.argsort()[::-1]
+        keep = []
+        while idx.size > 0:
+            i = idx[0]
+            keep.append(i)
+            xx1 = np.maximum(x1[i], x1[idx[1:]])
+            yy1 = np.maximum(y1[i], y1[idx[1:]])
+            xx2 = np.minimum(x2[i], x2[idx[1:]])
+            yy2 = np.minimum(y2[i], y2[idx[1:]])
+            w = np.maximum(0.0, xx2 - xx1 + 1)
+            h = np.maximum(0.0, yy2 - yy1 + 1)
+            ovr = w * h / (areas[i] + areas[idx[1:]] - w * h)
+            idx = idx[1:][ovr <= cfg.nms_thresh]
+        np.testing.assert_allclose(dets, pre[keep], rtol=1e-5)
+        np.testing.assert_allclose(kpss, kk[keep], rtol=1e-5)
+        assert (np.diff(dets[:, 4]) <= 1e-7).all()  # descending score
+
+    def test_alignment_recovers_similarity(self):
+        from diffusionspatialcontrol_tpu.models import face_detect as fd
+
+        rng = np.random.RandomState(1)
+        for _ in range(5):
+            theta = rng.uniform(-1.0, 1.0)
+            s = rng.uniform(0.5, 3.0)
+            t = rng.uniform(-30, 30, size=2)
+            rot = np.array([[np.cos(theta), -np.sin(theta)],
+                            [np.sin(theta), np.cos(theta)]])
+            lmk = fd.ARCFACE_DST @ (s * rot).T + t
+            m = fd.estimate_norm(lmk.astype(np.float32))
+            back = lmk @ m[:, :2].T + m[:, 2]
+            np.testing.assert_allclose(back, fd.ARCFACE_DST, atol=1e-3)
+
+    def test_warp_affine_translation_and_identity(self):
+        from diffusionspatialcontrol_tpu.models import face_detect as fd
+
+        img = np.arange(20 * 20 * 3, dtype=np.float32).reshape(20, 20, 3)
+        ident = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        out = fd.warp_affine(img, ident, 20)
+        np.testing.assert_allclose(out, img, atol=1e-4)
+        # shift output by (+3, +2): out[y, x] = img[y - 2, x - 3]
+        shift = np.array([[1.0, 0.0, 3.0], [0.0, 1.0, 2.0]])
+        out = fd.warp_affine(img, shift, 20)
+        np.testing.assert_allclose(out[5:, 5:], img[3:-2, 2:-3][:15, :15],
+                                   atol=1e-4)
+
+    def test_detect_and_align_e2e_tiny(self):
+        from diffusionspatialcontrol_tpu.models import face_detect as fd
+
+        cfg = fd.FACEDETECT_TINY
+        params = fd.scrfd_init(jax.random.PRNGKey(0), cfg)
+        img = (np.random.RandomState(2).rand(96, 80, 3) * 255).astype(
+            np.uint8)
+        dets, kpss = fd.detect_faces(params, img, cfg, top1_fallback=True)
+        assert len(dets) >= 1 and dets.shape[1] == 5
+        assert kpss.shape[1:] == (5, 2)
+        align = fd.make_face_aligner(params, cfg, top1_fallback=True)
+        crop = align(img)
+        assert crop.shape == (112, 112, 3)
+        np.testing.assert_array_equal(crop, align(img))  # deterministic
+        # no-face policy: threshold nothing clears and no fallback -> None
+        none_align = fd.make_face_aligner(params, cfg, top1_fallback=False)
+        dets2, _ = fd.detect_faces(params, img, cfg, score_thresh=2.0)
+        assert len(dets2) == 0
+
+    def test_convert_scrfd_roundtrip(self):
+        """A torch-layout state dict assembled from a tiny random init must
+        convert into the same pytree structure (and a BN fold sanity
+        check)."""
+        from diffusionspatialcontrol_tpu.models import face_detect as fd
+
+        cfg = fd.FACEDETECT_TINY
+        rng = np.random.RandomState(3)
+        state = {}
+
+        def put_conv(prefix, cin, cout, k, bias=False):
+            state[f"{prefix}.weight"] = rng.randn(
+                cout, cin, k, k).astype(np.float32)
+            if bias:
+                state[f"{prefix}.bias"] = rng.randn(cout).astype(np.float32)
+
+        def put_bn(prefix, c):
+            state[f"{prefix}.weight"] = rng.rand(c).astype(np.float32) + 0.5
+            state[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+            state[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+            state[f"{prefix}.running_var"] = rng.rand(c).astype(
+                np.float32) + 0.1
+
+        sc = cfg.stem_channels
+        put_conv("backbone.stem.0.conv", 3, sc, 3)
+        put_bn("backbone.stem.0.bn", sc)
+        put_conv("backbone.stem.1.conv", sc, sc, 3)
+        put_bn("backbone.stem.1.bn", sc)
+        put_conv("backbone.stem.2.conv", sc, sc, 3)
+        put_bn("backbone.stem.2.bn", sc)
+        cin = sc
+        for si, (nb, w) in enumerate(zip(cfg.stage_blocks,
+                                         cfg.stage_widths)):
+            for bi in range(nb):
+                pre = f"backbone.layer{si + 1}.{bi}"
+                put_conv(f"{pre}.conv1", cin, w, 3)
+                put_bn(f"{pre}.bn1", w)
+                put_conv(f"{pre}.conv2", w, w, 3)
+                put_bn(f"{pre}.bn2", w)
+                if bi == 0 and (si > 0 or cin != w):
+                    put_conv(f"{pre}.downsample.0", cin, w, 1)
+                    put_bn(f"{pre}.downsample.1", w)
+                cin = w
+        for i, w in enumerate(cfg.stage_widths[1:]):
+            put_conv(f"neck.lateral_convs.{i}.conv", w, cfg.neck_channels,
+                     1, bias=True)
+        for i in range(3):
+            put_conv(f"neck.fpn_convs.{i}.conv", cfg.neck_channels,
+                     cfg.neck_channels, 3, bias=True)
+        hin = cfg.neck_channels
+        for i in range(cfg.head_convs):
+            put_conv(f"bbox_head.cls_convs.{i}.conv", hin,
+                     cfg.head_channels, 3, bias=True)
+            hin = cfg.head_channels
+        a = cfg.num_anchors
+        put_conv("bbox_head.cls_pred", hin, a, 3, bias=True)
+        put_conv("bbox_head.reg_pred", hin, a * 4, 3, bias=True)
+        put_conv("bbox_head.kps_pred", hin, a * 10, 3, bias=True)
+
+        params = fd.convert_scrfd(state, cfg)
+        ref = fd.scrfd_init(jax.random.PRNGKey(0), cfg)
+        assert jax.tree_util.tree_structure(
+            params) == jax.tree_util.tree_structure(ref)
+        # BN fold: scale = gamma/sqrt(var+eps), bias = beta - mean*scale
+        g = state["backbone.stem.0.bn.weight"]
+        var = state["backbone.stem.0.bn.running_var"]
+        mu = state["backbone.stem.0.bn.running_mean"]
+        beta = state["backbone.stem.0.bn.bias"]
+        sc_ = g / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(params["stem"][0]["bn"]["scale"], sc_,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(params["stem"][0]["bn"]["bias"],
+                                   beta - mu * sc_, rtol=1e-4)
+        # the converted net runs
+        out = fd.detect_faces(params, np.zeros((64, 64, 3), np.uint8), cfg,
+                              top1_fallback=True)
+        assert len(out[0]) >= 1
