@@ -344,6 +344,48 @@ class ModelManager:
         self._adapters["face_embedder"] = fn
         return fn
 
+    def register_face_detector(self, path: Optional[str] = None, cfg=None,
+                               top1_fallback: bool = False):
+        """Configure the FaceID face detector+aligner: a native SCRFD-class
+        network (models/face_detect.py) converted from an insightface
+        ``scrfd`` torch checkpoint, or random-init with ``cfg``. Once
+        registered, FaceID units run the reference's full FaceAnalysis flow
+        on RAW photos — detect, 5-point align to the ArcFace template, then
+        embed (reference: source/app.py:800-825). Without registration the
+        input is treated as a pre-aligned crop (the previous behavior).
+        ``top1_fallback``: return the best-scoring anchor when nothing
+        clears the threshold (useful for random-init offline tests)."""
+        self._detector_spec = (path, cfg, top1_fallback)
+        self._adapters.pop("face_aligner", None)
+
+    def get_face_aligner(self):
+        """Callable raw photo -> aligned (112, 112, 3) crop of the top
+        face (or None if no face found), or None when no detector is
+        registered."""
+        if "face_aligner" in self._adapters:
+            return self._adapters["face_aligner"]
+        spec = getattr(self, "_detector_spec", None)
+        if spec is None:
+            return None
+        path, cfg, top1 = spec
+        from ..models.face_detect import (
+            FaceDetectConfig,
+            convert_scrfd,
+            make_face_aligner,
+            scrfd_init,
+        )
+
+        dcfg = cfg or FaceDetectConfig()
+        if path:
+            from ..convert.hf import load_state_dict
+
+            params = convert_scrfd(load_state_dict(path), dcfg, jnp.float32)
+        else:
+            params = scrfd_init(jax.random.PRNGKey(0), dcfg, jnp.float32)
+        fn = make_face_aligner(params, dcfg, top1_fallback=top1)
+        self._adapters["face_aligner"] = fn
+        return fn
+
     def register_preprocessor(self, name: str, path: Optional[str] = None,
                               cfg=None, detect_resolution: int = 368):
         """Configure a model-based control preprocessor ('Depth' /
@@ -1325,9 +1367,21 @@ def _ip_unit_embeds(manager: ModelManager, unit: IPAdapterUnit, adapter):
         and adapter.proj_params["ff_in"]["kernel"].shape[0] == 512
     )
     if is_faceid:
+        face_img = unit.image
+        # With a registered detector, run the reference's FaceAnalysis flow
+        # on the raw photo: SCRFD detect -> 5-point align -> embed
+        # (source/app.py:800-825). Otherwise the input is the aligned crop.
+        aligner = manager.get_face_aligner()
+        if aligner is not None:
+            face_img = aligner(np.asarray(face_img))
+            if face_img is None:
+                raise ValueError(
+                    f"IP-Adapter unit {unit.model!r}: no face detected in "
+                    "the reference image"
+                )
         # unit override > manager-registered ArcFace network > stub
         embedder = unit.face_embedder or manager.get_face_embedder()
-        emb = jnp.asarray(embedder(unit.image))[None]
+        emb = jnp.asarray(embedder(face_img))[None]
         return emb, jnp.zeros_like(emb)
 
     from ..models.clip_vision import clip_vision_apply, preprocess_image
