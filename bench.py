@@ -146,6 +146,71 @@ def main():
     )
 
     overhead = (controlled - vanilla) / vanilla * 100.0
+
+    # Secondary configs in the same JSON line (VERDICT r4 item 4) so every
+    # round's BENCH_rNN captures the serving and large-res shapes, not just
+    # single-image 512². Each is guarded: a relay compile failure must not
+    # cost the headline number.
+    import sys
+
+    extras = {}
+    try:
+        ctx4, _ = pipe.encode_prompt([prompt] * 4, [neg] * 4, clip_skip=2)
+
+        def run4(s):
+            return pipe.txt2img(ctx4, gen, seed=[s, s + 1, s + 2, s + 3],
+                                uint8_output=True)
+
+        np.asarray(run4(0))  # compile
+        extras["batch4_sec_per_image"] = round(timed_runs(run4, n=5) / 4, 4)
+    except Exception as e:
+        print(f"batch4 bench failed ({type(e).__name__})", file=sys.stderr,
+              flush=True)
+    try:
+        gen768 = GenerationConfig(
+            height=768, width=768, num_inference_steps=25,
+            guidance_scale=7.5, sampler="dpmpp_2m", schedule="karras")
+
+        def run768(s):
+            return pipe.txt2img(ctx4, gen768, seed=[s, s + 1, s + 2, s + 3],
+                                uint8_output=True)
+
+        np.asarray(run768(0))  # compile
+        extras["sec_768_b4"] = round(timed_runs(run768, n=3) / 4, 4)
+    except Exception as e:
+        print(f"768 bench failed ({type(e).__name__})", file=sys.stderr,
+              flush=True)
+
+    # MFU estimate: HLO flop count of one compiled denoise step (the CFG
+    # pair) x steps, against the headline wall time. v5e bf16 peak ~197
+    # TFLOP/s. Denoise-only (VAE decode ~1.2 TFLOP excluded) — a lower
+    # bound within ~7%.
+    try:
+        from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+            make_denoise_fn,
+        )
+        from diffusionspatialcontrol_tpu.samplers import schedules
+
+        log_table = jnp.asarray(
+            np.log(schedules.ddpm_sigma_table(cfg)), jnp.float32)
+        denoise = make_denoise_fn(params, cfg, ctx, biases, log_table, 7.5,
+                                  attn_impl=ATTN_IMPL, conv_impl=conv_impl)
+        lowered = jax.jit(denoise).lower(
+            jnp.zeros((1, 64, 64, 4), jnp.float32), jnp.float32(1.0))
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        step_flops = float(ca["flops"])
+        extras["unet_step_tflops"] = round(step_flops / 1e12, 3)
+        extras["mfu_est_pct"] = round(
+            100.0 * step_flops * gen.num_inference_steps
+            / (controlled * 197e12), 2)
+    except Exception as e:
+        print(f"mfu estimate failed ({type(e).__name__})", file=sys.stderr,
+              flush=True)
+
     print(
         json.dumps(
             {
@@ -159,6 +224,7 @@ def main():
                 "attn_impl": ATTN_IMPL,
                 "conv_impl": conv_impl,
                 "seed_in_program": seed_in_program,
+                **extras,
             }
         )
     )
