@@ -158,7 +158,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _flash_streaming(q, k, v, scale, d_pad, interpret,
-                     block_l: int = 256, block_s: int = 1024):
+                     block_l: int = 512, block_s: int = 1024):
+    # block_l=512 from the round-5 tune sweep at the 1920x1088 level-0
+    # shape (L=32640): 4071 ms vs 4399 (bl=256), 5105 (bl=128), 6469
+    # (bs=2048), 4763 (bs=512) for the 20-iter scan — benchmarks/
+    # tune_flash.py, /tmp/tune_flash_r5.log (PERF.md round 5).
     b, h, l, d = q.shape
     s_len = k.shape[2]
     l_pad = _round_up(l, block_l)
