@@ -124,6 +124,12 @@ def main(argv=None):
                    help="also render without the region map (default on; "
                    "the reference compares both)")
     p.add_argument("--no-vanilla", dest="vanilla", action="store_false")
+    p.add_argument("--compliance", action="store_true", default=True,
+                   help="also report per-phrase attention-mass-inside-mask "
+                   "via DAAM replay (default on; turns the reference's "
+                   "human side-by-side eval into a number)")
+    p.add_argument("--no-compliance", dest="compliance",
+                   action="store_false")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -187,6 +193,42 @@ def main(argv=None):
     if args.random_model and "tiny" in (args.random_model or ""):
         kwargs["dtype"] = jnp.float32
 
+    compliance_fn = None
+    if args.compliance:
+        from diffusionspatialcontrol_tpu import registry
+        from diffusionspatialcontrol_tpu.config import GenerationConfig
+        from diffusionspatialcontrol_tpu.introspect.daam import (
+            region_compliance,
+        )
+        from diffusionspatialcontrol_tpu.pipeline.pipeline import (
+            StableDiffusionTPU,
+        )
+
+        mcfg, params, tok = manager.get(name)
+        pipe = StableDiffusionTPU(mcfg, params, tokenizer=tok)
+        sampler_spec = registry.resolve_sampler(kwargs["sampler"])
+        gen = GenerationConfig(
+            height=size, width=size,
+            num_inference_steps=kwargs["steps"],
+            guidance_scale=kwargs["cfg_scale"],
+            sampler=sampler_spec.solver, schedule=sampler_spec.schedule,
+            clip_skip=kwargs["clip_skip"],
+            dtype=kwargs.get("dtype", jnp.bfloat16),
+        )
+
+        def compliance_fn(st, seed):
+            return region_compliance(
+                pipe, gen, kwargs["prompt"], kwargs["neg_prompt"], st,
+                seed=seed,
+                encoding_mode=kwargs.get("encoding_mode", "short"),
+            )
+
+        # weight-0 copy of the state: measures the uncontrolled baseline
+        # attention in the same masks
+        state0 = {
+            k: dict(v, weight=0.0) for k, v in state.items()
+        }
+
     results = {}
     for seed in seeds:
         out = inference(manager, seed=seed, region_state=state, **kwargs)
@@ -202,6 +244,10 @@ def main(argv=None):
                 f.write(native.encode_png(np.asarray(out_v["images"][0])))
             results[seed]["vanilla"] = json.loads(
                 out_v["timings"])["total_s"]
+        if compliance_fn is not None:
+            results[seed]["compliance"] = compliance_fn(state, seed)
+            results[seed]["compliance_vanilla"] = compliance_fn(state0,
+                                                               seed)
         print(f"seed {seed}: {results[seed]}", flush=True)
     with open(os.path.join(args.out, "timings.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -97,3 +97,82 @@ def token_heatmap(heatmaps: jnp.ndarray, token_positions: Sequence[int]):
     positions. Returns (B, h, w)."""
     sel = heatmaps[..., list(token_positions)]
     return sel.sum(-1)
+
+
+def attention_mass_in_mask(heatmaps: jnp.ndarray,
+                           token_positions: Sequence[int],
+                           mask_latent: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of a phrase's cross-attention mass falling inside its
+    region mask. ``heatmaps``: (B, h, w, S) UNNORMALIZED accumulation;
+    ``mask_latent``: (h, w) in [0, 1]. Returns (B,)."""
+    tok = token_heatmap(heatmaps, token_positions)  # (B, h, w)
+    m = mask_latent.astype(jnp.float32)[None]
+    inside = (tok * m).sum(axis=(1, 2))
+    total = tok.sum(axis=(1, 2))
+    return inside / jnp.maximum(total, 1e-12)
+
+
+def region_compliance(
+    pipe,
+    gen,
+    prompt: str,
+    neg_prompt: str,
+    state: Optional[dict],
+    seed=0,
+    encoding_mode: str = "short",
+    step_stride: int = 1,
+):
+    """Per-phrase attention-mass-inside-mask for one generation.
+
+    Quantifies the spatial-control effect the reference evaluates by human
+    inspection (reference README.md:68-75): generate with (or, when
+    ``state`` phrases carry weight 0 / ``state`` applied as measurement
+    only, without) region control, replay the trajectory through DAAM, and
+    report for each phrase the fraction of its cross-attention mass inside
+    its mask. Higher weight S must pull mass into the mask — the
+    monotonicity that makes this a machine-checkable stand-in for the
+    reference's side-by-side figures.
+
+    ``state``: {phrase: {mask, weight, mask_outsides}}; the masks define
+    WHERE compliance is measured, the weights define the control strength
+    (weight 0 for all phrases measures the uncontrolled baseline).
+    Returns {phrase: float} for batch item 0.
+    """
+    from ..ops.region_map import phrase_token_counts
+
+    ctx, ids = pipe.encode_prompt([prompt], [neg_prompt],
+                                  clip_skip=gen.clip_skip,
+                                  mode=encoding_mode)
+    any_weight = state and any(
+        float(v.get("weight", 0.0)) != 0.0 for v in state.values())
+    biases = None
+    if any_weight:
+        biases = pipe.encode_region([state], ids, height=gen.height,
+                                    width=gen.width, do_cfg=True)
+    _, hist = pipe.txt2img(ctx, gen, seed=seed, decode=False,
+                           return_history=True, region_biases=biases)
+    sigmas, _ = pipe._schedule(gen)
+    half = ctx.shape[0] // 2
+    cond_ctx = ctx[half:]
+    cond_biases = None
+    if biases is not None:
+        cond_biases = tuple(b[b.shape[0] // 2:] for b in biases)
+    maps = heatmaps_for_trajectory(
+        pipe.params, pipe.model_cfg, hist, sigmas, cond_ctx, cond_biases,
+        step_stride=step_stride, normalize=False,
+    )
+    h, w = gen.latent_height, gen.latent_width
+    out = {}
+    for phrase, spec in (state or {}).items():
+        p_ids = pipe.tokenizer.encode(phrase, add_special_tokens=False)
+        counts = phrase_token_counts(ids[0], [p_ids])[0]
+        positions = [i for i, c in enumerate(counts) if c > 0]
+        if not positions:
+            out[phrase] = float("nan")
+            continue
+        mask = jnp.asarray(np.asarray(spec["mask"], np.float32))
+        mask_lat = jax.image.resize(mask, (h, w), "bilinear")
+        mask_lat = (mask_lat >= 0.5).astype(jnp.float32)
+        frac = attention_mass_in_mask(maps, positions, mask_lat)
+        out[phrase] = float(frac[0])
+    return out

@@ -45,3 +45,25 @@ def test_daam_heatmaps(pipe):
     assert float(maps.max()) <= 1.0 + 1e-6
     tok_map = daam.token_heatmap(maps, [1, 2])
     assert tok_map.shape == (1, 8, 8)
+
+
+def test_region_compliance_monotonic_in_weight(pipe):
+    """Attention-mass-inside-mask must increase monotonically with the
+    region weight S (the bias directly raises in-mask logits for the
+    phrase's tokens), even on random weights — the machine-checkable form
+    of the reference's human spatial-control eval (README.md:68-75)."""
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, :24] = 1.0
+    fracs = []
+    for w in (0.0, 0.45, 0.9):
+        state = {"red cat": {"mask": mask, "weight": w,
+                             "mask_outsides": 0.0}}
+        c = daam.region_compliance(
+            pipe, GEN, "a red cat on a bench", "", state, seed=3)
+        assert set(c) == {"red cat"}
+        fracs.append(c["red cat"])
+    assert all(np.isfinite(fracs))
+    assert fracs[0] < fracs[1] < fracs[2], fracs
+    # the mask covers 24/64 of the width; the uncontrolled fraction should
+    # be in that ballpark, and full weight should pull in well above it
+    assert 0.05 < fracs[0] < 0.8
