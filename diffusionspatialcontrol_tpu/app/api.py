@@ -770,15 +770,21 @@ def inference(
 
     grid_prompts = grid_states = grid_seeds = None
     if isinstance(prompt, (list, tuple)) and len(prompt) > 1:
-        # Conditioning units ARE supported in grid mode (the unit image
-        # serves the whole prompts x seeds fan-out, like the reference's
-        # single control image with num_images_per_prompt); init-image,
-        # hires and preview stay single-prompt.
-        if (init_image is not None or (hires_scale and hires_scale > 1.0)
-                or latent_preview):
+        # Conditioning units AND img2img init images are supported in grid
+        # mode (the unit image serves the whole prompts x seeds fan-out,
+        # like the reference's single control image with
+        # num_images_per_prompt; init_image may be one image or a
+        # per-prompt list — reference batched img2img,
+        # model_k_diffusion.py:543). Inpaint, hires and preview stay
+        # single-prompt.
+        if (hires_scale and hires_scale > 1.0) or latent_preview:
             raise ValueError(
-                "multi-prompt batch supports txt2img (with optional "
-                "conditioning units) only — no init image / hires / preview"
+                "multi-prompt batch supports txt2img/img2img (with "
+                "optional conditioning units) only — no hires / preview"
+            )
+        if inpaint_mask is not None:
+            raise ValueError(
+                "multi-prompt batch does not support inpainting"
             )
         grid_prompts = list(prompt)
         grid_states = (
@@ -800,6 +806,8 @@ def inference(
         prompt = prompt[0]
     if grid_prompts is None and isinstance(region_state, (list, tuple)):
         region_state = region_state[0]
+    if grid_prompts is None and isinstance(init_image, (list, tuple)):
+        init_image = init_image[0]
 
     loaded_ip = None
     if ip_adapter_units:
@@ -984,11 +992,25 @@ def inference(
                 "cfg_tail_frac / deepcache_interval / bottleneck_low_scale "
                 "do not combine with multi-prompt grid mode"
             )
+        grid_inits = None
+        if init_image is not None:
+            inits = (
+                list(init_image)
+                if isinstance(init_image, (list, tuple))
+                else [init_image] * len(grid_prompts)
+            )
+            if len(inits) != len(grid_prompts):
+                raise ValueError(
+                    f"{len(inits)} init images for "
+                    f"{len(grid_prompts)} prompts"
+                )
+            grid_inits = [jnp.asarray(_to_pm1(im)) for im in inits]
         with timer.phase("sample"):
             out = generate_grid(
                 pipe, grid_prompts, grid_seeds, gen,
                 negative_prompt=neg_prompt, region_states=grid_states,
                 mesh="auto", encoding_mode=encoding_mode, extras=extras,
+                init_images=grid_inits, strength=strength,
             )
         watchdog.check()
         with timer.phase("to_host"):

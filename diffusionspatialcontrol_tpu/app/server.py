@@ -145,14 +145,26 @@ def _inference_kwargs(req: dict) -> dict:
         return None if v is None else np.asarray(v, np.float32)
 
     if req.get("init_image") is not None:
-        arr = _image_field(req["init_image"])
         # the HTTP convention for init_image is 0..255 (base64 or JSON
         # lists) — always cast to uint8 so inference's _to_pm1 maps it to
         # [-1, 1]. (A max()-based heuristic misreads dark images: an
         # all-black 0..255 upload would pass through as float and be
         # treated as already [-1, 1], i.e. mid-gray.)
+        def _init_img(v):
+            arr = _image_field(v)
+            return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+        ii = req["init_image"]
+        # per-prompt list (grid img2img): a list of base64 strings, or a
+        # list of (H, W, 3) nested arrays (vs ONE image, which is itself
+        # a nested list of rows)
+        is_multi = isinstance(ii, list) and len(ii) > 0 and (
+            isinstance(ii[0], str)
+            or (isinstance(ii[0], (list, tuple))
+                and np.asarray(ii[0], dtype=np.float32).ndim == 3)
+        )
         kwargs["init_image"] = (
-            np.clip(np.round(arr), 0, 255).astype(np.uint8)
+            [_init_img(v) for v in ii] if is_multi else _init_img(ii)
         )
     if req.get("inpaint_mask") is not None:
         m = _image_field(req["inpaint_mask"])

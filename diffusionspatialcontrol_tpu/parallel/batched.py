@@ -60,6 +60,8 @@ def generate_grid(
     decode: bool = True,
     encoding_mode: str = "short",
     extras=None,
+    init_images=None,
+    strength: float = 0.8,
 ):
     """Generate len(prompts) * len(seeds) images: prompt-major order.
 
@@ -69,6 +71,13 @@ def generate_grid(
     ``extras`` (DenoiseExtras) must already be batched to the full
     prompts x seeds fan-out CFG-doubled (api.inference builds it with
     unit_fan = P*M); its arrays are sharded alongside the contexts.
+
+    ``init_images``: optional per-prompt init images (P, H, W, 3) in
+    [-1, 1] — the batched img2img path (reference: batched image-to-image,
+    model_k_diffusion.py:543). Each (prompt, seed) sample's init latents
+    are VAE-encoded under ITS OWN seed, so every sample is bitwise
+    identical to the equivalent single img2img run (the per-sample PRNG
+    contract), regardless of grid shape or mesh.
     Returns (P*M, H, W, 3) images (or latents)."""
     n_p, n_s = len(prompts), len(seeds)
     negs = (
@@ -97,6 +106,21 @@ def generate_grid(
 
     all_seeds = [int(s) for p in range(n_p) for s in seeds]
 
+    init_latents = None
+    if init_images is not None:
+        if len(init_images) != n_p:
+            raise ValueError(
+                f"{len(init_images)} init images for {n_p} prompts"
+            )
+        init_latents = jax.numpy.concatenate(
+            [
+                pipe.encode_image(init_images[p][None], seed=int(s))
+                for p in range(n_p)
+                for s in seeds
+            ],
+            axis=0,
+        )
+
     if mesh == "auto":
         n_dev = len(jax.devices())
         mesh = (
@@ -113,7 +137,14 @@ def generate_grid(
             )
         if extras is not None:
             extras = _shard_extras(mesh, extras)
+        if init_latents is not None:
+            init_latents = shard_batch(mesh, init_latents)
 
+    if init_latents is not None:
+        return pipe.img2img(
+            context, init_latents, gen, strength=strength, seed=all_seeds,
+            region_biases=region_biases, decode=decode, extras=extras,
+        )
     return pipe.txt2img(
         context, gen, seed=all_seeds, region_biases=region_biases,
         decode=decode, extras=extras,

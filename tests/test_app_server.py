@@ -408,3 +408,63 @@ def test_http_server_warmup(manager):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_http_server_grid_img2img(manager):
+    """Server e2e: 2 prompts x 2 seeds with per-prompt base64 init images;
+    each grid sample matches the equivalent single-run response byte for
+    byte (per-seed invariance through the HTTP surface)."""
+    import base64
+
+    from diffusionspatialcontrol_tpu.app.server import serve
+    from diffusionspatialcontrol_tpu.runtime import native
+
+    rng = np.random.RandomState(21)
+    imgs = [(rng.rand(64, 64, 3) * 255).astype(np.uint8) for _ in range(2)]
+    b64 = [
+        base64.b64encode(native.encode_png(im)).decode() for im in imgs
+    ]
+
+    server = serve(manager, port=0, block=False)
+    port = server.server_address[1]
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    base = {
+        "model": "tiny", "sampler": "Euler", "steps": 2, "width": 64,
+        "height": 64, "strength": 0.6, "encoding_mode": "short",
+    }
+    def decode(s):
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(base64.b64decode(s)))
+                          ).astype(int)
+
+    try:
+        grid = post({**base, "prompt": ["a red cat", "a blue dog"],
+                     "seed": [3, 8], "init_image": b64})
+        assert len(grid["images"]) == 4
+        solo = post({**base, "prompt": "a blue dog", "seed": 3,
+                     "init_image": b64[1]})
+        # per-seed invariance: pixel-equal up to 1 uint8 count — under the
+        # 8-virtual-device harness XLA:CPU partitions reductions
+        # differently for the batch-4 vs batch-1 programs, which can move
+        # a value across a rounding boundary (bitwise on a real device
+        # count, and in the float32 inference-level test)
+        d = np.abs(decode(grid["images"][2]) - decode(solo["images"][0]))
+        assert d.max() <= 1, d.max()
+        solo0 = post({**base, "prompt": "a red cat", "seed": 8,
+                      "init_image": b64[0]})
+        d = np.abs(decode(grid["images"][1]) - decode(solo0["images"][0]))
+        assert d.max() <= 1, d.max()
+    finally:
+        server.shutdown()
