@@ -29,7 +29,7 @@ import numpy as np
 from diffusionspatialcontrol_tpu.ops.pallas.flash_attention import (
     _flash_streaming, flash_attention)
 
-ITERS = 20
+ITERS = int(os.environ.get("TUNE_ITERS", "20"))
 
 
 def timed(fn, x, n=5):
@@ -67,8 +67,12 @@ def sweep_single():
         k = jax.random.normal(kq[1], (b, h, l, d)).astype(jnp.bfloat16)
         v = jax.random.normal(kq[2], (b, h, l, d)).astype(jnp.bfloat16)
         flops = ITERS * b * h * 2 * 2 * l * l * d  # QK^T + PV
+        # v5e VMEM is ~128 MB; the production heuristic's 12 MB budget is
+        # deliberately conservative — probe much larger query tiles too
+        # (fewer grid steps, bigger MXU M-dim per dot).
         for bl, budget in [(None, None), (128, None), (256, 15 * 2**20),
-                           (512, 15 * 2**20)]:
+                           (512, 15 * 2**20), (1024, 48 * 2**20),
+                           (2048, 96 * 2**20), (4096, 120 * 2**20)]:
             fn = make_scan(
                 functools.partial(flash_attention, block_l=bl,
                                   vmem_budget=budget), k, v)
@@ -107,10 +111,46 @@ def sweep_stream():
               f"{p50*1e3:8.1f} ms ({flops/p50/1e12:5.1f} TF/s)", flush=True)
 
 
+def sweep_dtypes():
+    """MXU dtype / exp variants of the single-pass kernel (round 5): the
+    original kernel pre-cast q/k/v to fp32, forcing fp32 MXU dots."""
+    shapes = [
+        ("512^2 b1 (L=4096)", 2, 8, 4096, 40),
+        ("512^2 b4 (L=4096)", 8, 8, 4096, 40),
+        ("768^2 b4 (L=9216)", 8, 8, 9216, 40),
+    ]
+    variants = [
+        ("f32 dots (orig)", {}),
+        ("qk_bf16        ", {"qk_bf16": True}),
+        ("qk+pv_bf16     ", {"qk_bf16": True, "pv_bf16": True}),
+        ("qk+pv+exp2     ", {"qk_bf16": True, "pv_bf16": True,
+                             "use_exp2": True}),
+        ("exp2 only      ", {"use_exp2": True}),
+    ]
+    for label, b, h, l, d in shapes:
+        kq = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq[0], (b, h, l, d)).astype(jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, h, l, d)).astype(jnp.bfloat16)
+        v = jax.random.normal(kq[2], (b, h, l, d)).astype(jnp.bfloat16)
+        flops = ITERS * b * h * 2 * 2 * l * l * d
+        for name, kw in variants:
+            fn = make_scan(functools.partial(flash_attention, **kw), k, v)
+            try:
+                p50 = timed(fn, q)
+            except Exception as e:
+                print(f"{label:22s} {name}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:90]})", flush=True)
+                continue
+            print(f"{label:22s} {name}: p50 {p50*1e3:8.1f} ms "
+                  f"({flops/p50/1e12:5.1f} TF/s)", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     print("backend:", jax.default_backend(), flush=True)
     if mode in ("single", "both"):
         sweep_single()
+    if mode == "dtypes":
+        sweep_dtypes()
     if mode in ("stream", "both"):
         sweep_stream()

@@ -362,14 +362,23 @@ def _heads_merge(x):
     return x.reshape(b, l, h * d)
 
 
+def _flash_opts(attn_impl: str) -> dict:
+    """Kernel-variant suffixes: ``attn_impl="pallas+exp2+qkbf16+pvbf16"``
+    selects the flash-kernel MXU/VPU variants (flash_attention docs);
+    plain "pallas" is the validated default."""
+    opts = attn_impl.split("+")[1:]
+    return {"qk_bf16": "qkbf16" in opts, "pv_bf16": "pvbf16" in opts,
+            "use_exp2": "exp2" in opts}
+
+
 def _self_attention(p, x, heads, attn_impl):
     q = _heads_split(linear(p["to_q"], x), heads)
     k = _heads_split(linear(p["to_k"], x), heads)
     v = _heads_split(linear(p["to_v"], x), heads)
-    if attn_impl == "pallas":
+    if attn_impl.startswith("pallas"):
         from ..ops.pallas.flash_attention import flash_attention_nlhd
 
-        out = flash_attention_nlhd(q, k, v)
+        out = flash_attention_nlhd(q, k, v, **_flash_opts(attn_impl))
     else:
         out = attn_ops.attention_nlhd(q, k, v)
     return linear(p["to_out"], _heads_merge(out))
@@ -383,7 +392,7 @@ def _cross_attention(p, x, cond: UNetCond, level: int, heads, attn_impl,
 
     if cond.region is not None:
         bias = cond.region.biases[level]
-        if attn_impl == "pallas":
+        if attn_impl.startswith("pallas"):
             from ..ops.pallas.region_attention import region_attention_nlhd
 
             out = region_attention_nlhd(q, k, v, bias, cond.region.sigma,
@@ -393,10 +402,10 @@ def _cross_attention(p, x, cond: UNetCond, level: int, heads, attn_impl,
                                                  cond.region.sigma,
                                                  axis_name=axis_name)
     else:
-        if attn_impl == "pallas":
+        if attn_impl.startswith("pallas"):
             from ..ops.pallas.flash_attention import flash_attention_nlhd
 
-            out = flash_attention_nlhd(q, k, v)
+            out = flash_attention_nlhd(q, k, v, **_flash_opts(attn_impl))
         else:
             out = attn_ops.attention_nlhd(q, k, v)
 

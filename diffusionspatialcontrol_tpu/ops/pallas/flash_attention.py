@@ -71,9 +71,24 @@ def _stream_kernel(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref, *,
         out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+_LOG2E = 1.4426950408889634
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int,
+            qk_bf16: bool = False, pv_bf16: bool = False,
+            use_exp2: bool = False):
+    """``qk_bf16``: feed the QK^T dot its native bf16 operands (fp32
+    accumulation via preferred_element_type — bf16 products are exact, so
+    this only changes accumulation order) instead of pre-casting to fp32,
+    which forces the MXU's slow fp32 path. ``pv_bf16``: round the softmax
+    probabilities to bf16 for the P·V dot (the standard flash-kernel
+    choice; ~8e-3 relative rounding on p). ``use_exp2``: fold the
+    softmax's exp into exp2 (what the VPU implements natively)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    if not qk_bf16:
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -83,11 +98,19 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_valid, s, -1e9)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    if use_exp2:
+        p = jnp.exp2((s - m) * _LOG2E)
+    else:
+        p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
+    if pv_bf16:
+        pd = p.astype(jnp.bfloat16)
+        v = v_ref[0]
+    else:
+        pd = p
+        v = v_ref[0].astype(jnp.float32)
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        pd, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[0] = (out / denom).astype(out_ref.dtype)
@@ -96,7 +119,10 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, s_valid: int):
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool | None = None,
                     block_l: int | None = None,
-                    vmem_budget: int | None = None) -> jnp.ndarray:
+                    vmem_budget: int | None = None,
+                    qk_bf16: bool = False,
+                    pv_bf16: bool = False,
+                    use_exp2: bool = False) -> jnp.ndarray:
     """q: (B, H, L, D); k, v: (B, H, S, D) -> (B, H, L, D).
 
     ``block_l`` / ``vmem_budget`` override the query-tile heuristic (used
@@ -139,7 +165,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vp = vp.reshape(b * h, s_pad, d_pad)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, s_valid=s_len),
+        functools.partial(_kernel, scale=scale, s_valid=s_len,
+                          qk_bf16=qk_bf16, pv_bf16=pv_bf16,
+                          use_exp2=use_exp2),
         out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
         grid=(b * h, l_pad // block_l),
         in_specs=[
@@ -208,14 +236,16 @@ def _flash_streaming(q, k, v, scale, d_pad, interpret,
 
 
 def flash_attention_nlhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         interpret: bool | None = None) -> jnp.ndarray:
+                         interpret: bool | None = None,
+                         **variant) -> jnp.ndarray:
     """BTNH ((B, L, H, D)) entry point. Mosaic requires the last two block
     dims to be (8k, 128k)-aligned or full, so a head-slicing 4D BlockSpec
     on BTNH arrays is not lowerable; transpose to BHLD here and reuse the
     validated 3D kernel (one transpose per operand — the same count the
-    BHLD layout paid at the head-split)."""
+    BHLD layout paid at the head-split). ``variant``: qk_bf16 / pv_bf16 /
+    use_exp2 kernel options (see ``_kernel``)."""
     out = flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), interpret=interpret,
+        v.transpose(0, 2, 1, 3), interpret=interpret, **variant,
     )
     return out.transpose(0, 2, 1, 3)
