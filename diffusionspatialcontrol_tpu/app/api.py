@@ -1094,6 +1094,8 @@ def inference(
             # every model_fn (model_k_diffusion.py:1094-1095); here the
             # scan re-enters the host every cancel_check_steps steps and
             # the watchdog can abort mid-generation (bitwise-identical
+            # for every solver except heunpp2, which matches to 1 ULP/step
+            # — see sample_heunpp2's docstring —
             # results to the single-scan path). progress_cb (the async job
             # API's hook) ticks at the same boundaries and may raise to
             # cancel.

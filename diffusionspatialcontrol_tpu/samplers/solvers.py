@@ -228,7 +228,10 @@ def sample_heunpp2(denoise: DenoiseFn, x, sigmas: np.ndarray, *,
     costs 3n-3 UNet evals instead of 3n (the round-4 verdict's only
     known NFE waste). The chunked ``segment`` path and non-canonical
     schedules (s_end appearing before the last entry) keep the uniform
-    select-per-step body, which is bitwise identical in results."""
+    select-per-step body — same arithmetic; XLA's different fusion
+    contexts can differ from the canonical path by 1 ULP per step (the
+    one solver whose chunked/cancellation runs are not bitwise identical
+    to the plain path)."""
     n = len(sigmas) - 1
     s_end = sigmas[-1]
     sigma0 = float(sigmas[0])
