@@ -30,11 +30,15 @@ from diffusionspatialcontrol_tpu.models import layers as layers_mod
 from diffusionspatialcontrol_tpu.pipeline.pipeline import make_denoise_fn
 from diffusionspatialcontrol_tpu.samplers import schedules
 
-STEPS = 25
+STEPS = int(os.environ.get("ABL_STEPS", "25"))
+H = int(os.environ.get("ABL_H", "512"))
+W = int(os.environ.get("ABL_W", "512"))
+B = int(os.environ.get("ABL_B", "1"))
+LH, LW = H // 8, W // 8
 
 
 def build_step(cfg, params, log_table, biases):
-    context = jax.random.normal(jax.random.PRNGKey(3), (2, 77, 768)
+    context = jax.random.normal(jax.random.PRNGKey(3), (2 * B, 77, 768)
                                 ).astype(jnp.bfloat16)
 
     @jax.jit
@@ -58,7 +62,8 @@ def build_step(cfg, params, log_table, biases):
 def timeit(run, n=4):
     ts = []
     for i in range(n):
-        x0 = jax.random.normal(jax.random.PRNGKey(100 + i), (1, 64, 64, 4))
+        x0 = jax.random.normal(jax.random.PRNGKey(100 + i),
+                               (B, LH, LW, 4))
         t0 = time.perf_counter()
         out = run(x0)
         np.asarray(out)
@@ -74,7 +79,8 @@ def main():
     table = schedules.ddpm_sigma_table(cfg)
     log_table = jnp.asarray(np.log(table), jnp.float32)
     biases = tuple(
-        jnp.ones((2, (64 // 2**i) ** 2, 77), jnp.float32) * 0.1
+        jnp.ones((2 * B, (LH // 2**i) * (LW // 2**i), 77), jnp.float32)
+        * 0.1
         for i in range(4)
     )
 
@@ -115,6 +121,14 @@ def main():
     unet_mod._transformer_apply = tf_identity
     measure("attention_blocks_removed")
     unet_mod._transformer_apply = real_tf
+
+    # FF (GEGLU) only
+    def ff_identity(p, x):
+        return x
+
+    unet_mod._geglu_ff = ff_identity
+    measure("ff_removed")
+    unet_mod._geglu_ff = real_ff
 
     per_step = {k: v / STEPS * 1e3 for k, v in results.items()}
     print(json.dumps({"total_s": results, "per_step_ms": per_step,
