@@ -199,3 +199,22 @@ def test_gram_std_bhld_matches_nlhd():
     ))
     b = float(attn_ops.logits_std_gram_nlhd(jnp.asarray(q), jnp.asarray(k), scale))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_flash_variants_match_reference():
+    """The MXU/VPU kernel variants (bf16 QK^T operands, bf16
+    probabilities, exp2 softmax — attn_impl suffixes) must match the
+    materialized reference within bf16-class tolerance; on TPU the full
+    25-step pipeline outputs were bitwise identical (PERF.md round 5)."""
+    rng = np.random.RandomState(7)
+    B, H, L, D = 1, 2, 200, 40
+    q = rng.randn(B, H, L, D).astype(np.float32)
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    ref = attn_ops.attention_reference(
+        qb.astype(jnp.float32), qb.astype(jnp.float32),
+        qb.astype(jnp.float32))
+    for kw in ({"qk_bf16": True}, {"pv_bf16": True}, {"use_exp2": True},
+               {"qk_bf16": True, "pv_bf16": True, "use_exp2": True}):
+        got = flash_attention(qb, qb, qb, **kw).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2, err_msg=str(kw))
