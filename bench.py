@@ -200,6 +200,8 @@ def main():
         try:
             ca = lowered.cost_analysis()
         except Exception:
+            ca = None
+        if ca is None:  # some backends return None pre-compile
             ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         step_flops = float(ca["flops"])
