@@ -32,6 +32,11 @@ N_PER_ARM = 7
 
 
 def main():
+    # env overrides: AB_H/AB_W/AB_BATCH/AB_RUNS (768 b4 serving shape etc.)
+    height = int(os.environ.get("AB_H", "512"))
+    width = int(os.environ.get("AB_W", "512"))
+    batch = int(os.environ.get("AB_BATCH", "1"))
+    n_runs = int(os.environ.get("AB_RUNS", str(N_PER_ARM)))
     impls = sys.argv[1:] or [
         "pallas", "pallas+exp2", "pallas+exp2+qkbf16",
         "pallas+exp2+qkbf16+pvbf16",
@@ -40,7 +45,8 @@ def main():
     params = factory.init_pipeline_params(
         jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     tok = load_tokenizer()
-    gen = GenerationConfig(height=512, width=512, num_inference_steps=25,
+    gen = GenerationConfig(height=height, width=width,
+                           num_inference_steps=25,
                            guidance_scale=7.5, sampler="dpmpp_2m",
                            schedule="karras")
     pipes = {
@@ -52,8 +58,9 @@ def main():
     prompt = "a red cat sitting on a wooden bench, a blue bird flying"
     neg = "bad quality, low quality, jpeg artifact, cropped"
     p0 = pipes[impls[0]]
-    ctx, ids = p0.encode_prompt([prompt], [neg], clip_skip=2)
-    h = w = 512
+    ctx, ids = p0.encode_prompt([prompt] * batch, [neg] * batch,
+                                clip_skip=2)
+    h, w = height, width
     m1 = np.zeros((h, w), np.float32)
     m1[:, : w // 2] = 1.0
     m2 = np.zeros((h, w), np.float32)
@@ -62,14 +69,18 @@ def main():
         "red cat": {"mask": m1, "weight": 0.8, "mask_outsides": 0.2},
         "blue bird": {"mask": m2, "weight": 0.7, "mask_outsides": 0.1},
     }
-    biases = p0.encode_region([state], ids, height=h, width=w, do_cfg=True)
+    biases = p0.encode_region([state] * batch, ids, height=h, width=w,
+                              do_cfg=True)
+    seeds = (lambda s0: [s0 + j for j in range(batch)]
+             if batch > 1 else s0)
 
     ref_img = None
     for impl in list(pipes):
         t0 = time.perf_counter()
         try:
             out = np.asarray(pipes[impl].txt2img(
-                ctx, gen, seed=0, region_biases=biases, uint8_output=True))
+                ctx, gen, seed=seeds(0), region_biases=biases,
+                uint8_output=True))
         except Exception as e:
             print(f"{impl}: COMPILE FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
@@ -85,10 +96,10 @@ def main():
               f"{time.perf_counter() - t0:.1f} s", flush=True)
 
     times = {impl: [] for impl in pipes}
-    for i in range(N_PER_ARM):
+    for i in range(n_runs):
         for impl, pipe in pipes.items():
             t0 = time.perf_counter()
-            out = pipe.txt2img(ctx, gen, seed=7000 + i,
+            out = pipe.txt2img(ctx, gen, seed=seeds(7000 + i * batch),
                                region_biases=biases, uint8_output=True)
             np.asarray(out)
             dt = time.perf_counter() - t0
